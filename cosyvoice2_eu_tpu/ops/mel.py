@@ -1,0 +1,123 @@
+"""Mel spectrogram featurizers.
+
+`mel_spectrogram` reproduces the matcha featurizer used for training targets
+and prompt features (reference: third_party/Matcha-TTS/matcha/utils/audio.py:45:
+reflect pre-pad, center=False STFT, slaney mel, log clamp 1e-5).
+
+`whisper_log_mel` reproduces OpenAI whisper's 128-bin log-mel used as the FSQ
+speech-tokenizer input (reference: cosy_repo/cosyvoice/cli/frontend.py:262-274).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from cosyvoice2_eu_tpu.ops.stft import hann_window, stft
+
+
+def hz_to_mel(f: np.ndarray, htk: bool = False) -> np.ndarray:
+    f = np.asarray(f, dtype=np.float64)
+    if htk:
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+    # slaney: linear below 1 kHz, log above
+    f_min, f_sp = 0.0, 200.0 / 3
+    mels = (f - f_min) / f_sp
+    min_log_hz = 1000.0
+    min_log_mel = (min_log_hz - f_min) / f_sp
+    logstep = np.log(6.4) / 27.0
+    above = f >= min_log_hz
+    mels = np.where(above, min_log_mel + np.log(np.maximum(f, 1e-10) / min_log_hz) / logstep, mels)
+    return mels
+
+
+def mel_to_hz(m: np.ndarray, htk: bool = False) -> np.ndarray:
+    m = np.asarray(m, dtype=np.float64)
+    if htk:
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+    f_min, f_sp = 0.0, 200.0 / 3
+    freqs = f_min + f_sp * m
+    min_log_hz = 1000.0
+    min_log_mel = (min_log_hz - f_min) / f_sp
+    logstep = np.log(6.4) / 27.0
+    above = m >= min_log_mel
+    return np.where(above, min_log_hz * np.exp(logstep * (m - min_log_mel)), freqs)
+
+
+@functools.lru_cache(maxsize=8)
+def mel_filterbank(
+    sr: int,
+    n_fft: int,
+    n_mels: int,
+    fmin: float = 0.0,
+    fmax: float | None = None,
+    htk: bool = False,
+    norm: str | None = "slaney",
+) -> np.ndarray:
+    """librosa.filters.mel-compatible (n_mels, n_fft//2+1) filterbank."""
+    if fmax is None:
+        fmax = sr / 2.0
+    n_freqs = n_fft // 2 + 1
+    fft_freqs = np.linspace(0.0, sr / 2.0, n_freqs)
+    mel_pts = np.linspace(hz_to_mel(np.array(fmin), htk), hz_to_mel(np.array(fmax), htk), n_mels + 2)
+    hz_pts = mel_to_hz(mel_pts, htk)
+
+    fdiff = np.diff(hz_pts)
+    ramps = hz_pts[:, None] - fft_freqs[None, :]
+    lower = -ramps[:-2] / fdiff[:-1, None]
+    upper = ramps[2:] / fdiff[1:, None]
+    weights = np.maximum(0.0, np.minimum(lower, upper))
+    if norm == "slaney":
+        enorm = 2.0 / (hz_pts[2 : n_mels + 2] - hz_pts[:n_mels])
+        weights *= enorm[:, None]
+    return weights.astype(np.float32)
+
+
+def mel_spectrogram(
+    y: jnp.ndarray,
+    n_fft: int = 1920,
+    num_mels: int = 80,
+    sampling_rate: int = 24000,
+    hop_size: int = 480,
+    win_size: int = 1920,
+    fmin: float = 0.0,
+    fmax: float | None = None,
+    center: bool = False,
+) -> jnp.ndarray:
+    """(B, T) waveform -> (B, num_mels, T // hop_size) log-mel.
+
+    Bit-compatible with matcha.utils.audio.mel_spectrogram (the reference
+    featurizer for both training and prompt mels).
+    """
+    assert win_size == n_fft, "reference always uses win_size == n_fft"
+    if not center:
+        pad = (n_fft - hop_size) // 2
+        y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(pad, pad)], mode="reflect")
+    real, imag = stft(y, n_fft, hop_size, hann_window(win_size), center=center)
+    mag = jnp.sqrt(real * real + imag * imag + 1e-9)
+    basis = jnp.asarray(mel_filterbank(sampling_rate, n_fft, num_mels, fmin, fmax))
+    mel = jnp.einsum("mf,...ft->...mt", basis, mag)
+    return jnp.log(jnp.clip(mel, min=1e-5))
+
+
+def whisper_log_mel(
+    y: jnp.ndarray,
+    n_mels: int = 128,
+    n_fft: int = 400,
+    hop: int = 160,
+    sampling_rate: int = 16000,
+) -> jnp.ndarray:
+    """(B, T) 16 kHz waveform -> (B, n_mels, T // hop) whisper log-mel.
+
+    Matches whisper.audio.log_mel_spectrogram: center=True power spectrum with
+    the last frame dropped, log10 clamped to (max - 8), scaled (x+4)/4.
+    """
+    real, imag = stft(y, n_fft, hop, hann_window(n_fft), center=True)
+    power = (real * real + imag * imag)[..., :-1]  # drop the final frame
+    basis = jnp.asarray(mel_filterbank(sampling_rate, n_fft, n_mels))
+    mel = jnp.einsum("mf,...ft->...mt", basis, power)
+    log_spec = jnp.log10(jnp.clip(mel, min=1e-10))
+    log_spec = jnp.maximum(log_spec, jnp.max(log_spec, axis=(-2, -1), keepdims=True) - 8.0)
+    return (log_spec + 4.0) / 4.0

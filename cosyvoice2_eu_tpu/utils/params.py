@@ -1,0 +1,196 @@
+"""Functional NN layers over explicit parameter pytrees.
+
+Design: every model component is a pure ``apply(params, x, ...)`` function;
+parameters are nested dicts of jnp arrays produced by ``init_*`` helpers.
+Weight layouts deliberately match torch conventions —
+
+* dense:          weight (out, in), bias (out,)
+* conv1d:         weight (out, in/groups, k), bias (out,)
+* conv_transpose: weight (in, out, k), bias (out,)
+* embedding:      weight (num, dim)
+
+— so the reference's ``llm.pt/flow.pt/hift.pt`` checkpoints map into these
+pytrees key-for-key (see runtime/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# initializers
+# ---------------------------------------------------------------------------
+
+def _kaiming_uniform(rng, shape, fan_in):
+    bound = math.sqrt(1.0 / fan_in)
+    return jax.random.uniform(rng, shape, jnp.float32, -bound, bound)
+
+
+def init_dense(rng, in_dim: int, out_dim: int, bias: bool = True) -> dict:
+    k_w, k_b = jax.random.split(rng)
+    p = {"weight": _kaiming_uniform(k_w, (out_dim, in_dim), in_dim)}
+    if bias:
+        p["bias"] = _kaiming_uniform(k_b, (out_dim,), in_dim)
+    return p
+
+
+def init_conv1d(rng, in_ch: int, out_ch: int, k: int, groups: int = 1, bias: bool = True) -> dict:
+    k_w, k_b = jax.random.split(rng)
+    fan_in = (in_ch // groups) * k
+    p = {"weight": _kaiming_uniform(k_w, (out_ch, in_ch // groups, k), fan_in)}
+    if bias:
+        p["bias"] = _kaiming_uniform(k_b, (out_ch,), fan_in)
+    return p
+
+
+def init_conv_transpose1d(rng, in_ch: int, out_ch: int, k: int, bias: bool = True) -> dict:
+    k_w, k_b = jax.random.split(rng)
+    fan_in = out_ch * k  # torch uses in_channels of the *transposed* view
+    p = {"weight": _kaiming_uniform(k_w, (in_ch, out_ch, k), fan_in)}
+    if bias:
+        p["bias"] = _kaiming_uniform(k_b, (out_ch,), fan_in)
+    return p
+
+
+def init_layer_norm(dim: int) -> dict:
+    return {"weight": jnp.ones((dim,)), "bias": jnp.zeros((dim,))}
+
+
+def init_rms_norm(dim: int) -> dict:
+    return {"weight": jnp.ones((dim,))}
+
+
+def init_group_norm(dim: int) -> dict:
+    return {"weight": jnp.ones((dim,)), "bias": jnp.zeros((dim,))}
+
+
+def init_embedding(rng, num: int, dim: int) -> dict:
+    return {"weight": jax.random.normal(rng, (num, dim)) }
+
+
+# ---------------------------------------------------------------------------
+# functional layers
+# ---------------------------------------------------------------------------
+
+def dense(p: dict, x: jnp.ndarray) -> jnp.ndarray:
+    y = x @ p["weight"].astype(x.dtype).T
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def embedding(p: dict, ids: jnp.ndarray) -> jnp.ndarray:
+    return jnp.take(p["weight"], ids, axis=0)
+
+
+def layer_norm(p: dict, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    return y * p["weight"].astype(x.dtype) + p["bias"].astype(x.dtype)
+
+
+def rms_norm(p: dict, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    # match HF Qwen2RMSNorm: compute the norm in fp32
+    xf = x.astype(jnp.float32)
+    y = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (y * p["weight"].astype(jnp.float32)).astype(x.dtype)
+
+
+def group_norm(p: dict, x: jnp.ndarray, groups: int, eps: float = 1e-5) -> jnp.ndarray:
+    """x: (B, C, T) channel-first like torch.nn.GroupNorm."""
+    b, c, t = x.shape
+    xg = x.reshape(b, groups, c // groups, t)
+    mean = jnp.mean(xg, axis=(2, 3), keepdims=True)
+    var = jnp.var(xg, axis=(2, 3), keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    y = xg.reshape(b, c, t)
+    return y * p["weight"].astype(x.dtype)[None, :, None] + p["bias"].astype(x.dtype)[None, :, None]
+
+
+def conv1d(
+    p: dict,
+    x: jnp.ndarray,
+    stride: int = 1,
+    padding: int | tuple[int, int] = 0,
+    dilation: int = 1,
+    groups: int = 1,
+) -> jnp.ndarray:
+    """torch.nn.Conv1d semantics.  x: (B, C_in, T) -> (B, C_out, T')."""
+    if isinstance(padding, int):
+        padding = (padding, padding)
+    w = p["weight"].astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride,),
+        padding=[padding],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=groups,
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)[None, :, None]
+    return y
+
+
+def causal_conv1d(p: dict, x: jnp.ndarray, dilation: int = 1, groups: int = 1) -> jnp.ndarray:
+    """Left-pad (k-1)*dilation zeros then valid conv (reference CausalConv1d,
+    cosy_repo/cosyvoice/flow/decoder.py:36)."""
+    k = p["weight"].shape[-1]
+    return conv1d(p, x, padding=((k - 1) * dilation, 0), dilation=dilation, groups=groups)
+
+
+def conv_transpose1d(p: dict, x: jnp.ndarray, stride: int, padding: int = 0) -> jnp.ndarray:
+    """torch.nn.ConvTranspose1d semantics.  x: (B, C_in, T) -> (B, C_out, T')."""
+    w = p["weight"].astype(x.dtype)  # (in, out, k)
+    k = w.shape[-1]
+    # torch convtranspose == lhs-dilated conv with flipped kernel, swapped io
+    y = jax.lax.conv_general_dilated(
+        x,
+        jnp.flip(w, -1).transpose(1, 0, 2),  # -> (out, in, k)
+        window_strides=(1,),
+        padding=[(k - 1 - padding, k - 1 - padding)],
+        lhs_dilation=(stride,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)[None, :, None]
+    return y
+
+
+def fold_weight_norm(weight_g: np.ndarray, weight_v: np.ndarray) -> np.ndarray:
+    """Collapse torch weight_norm (g * v / ||v||) into a plain weight.
+
+    The reference wraps HiFT/F0-predictor convs in weight_norm
+    (hifigan/generator.py:439); at load time we fold it so inference uses
+    plain convs (equivalent to remove_weight_norm, generator.py:490).
+    """
+    axis = tuple(range(1, weight_v.ndim))
+    norm = np.sqrt(np.sum(weight_v * weight_v, axis=axis, keepdims=True))
+    return weight_g * weight_v / np.maximum(norm, 1e-12)
+
+
+# ---------------------------------------------------------------------------
+# misc activations
+# ---------------------------------------------------------------------------
+
+def snake(x: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
+    """Snake activation x + sin^2(ax)/a, channel-wise alpha; x: (B, C, T).
+
+    Reference: cosy_repo/cosyvoice/transformer/activation.py:34 (alpha not in
+    log scale for HiFT ResBlocks).
+    """
+    a = alpha.astype(x.dtype)[None, :, None]
+    s = jnp.sin(a * x)
+    return x + s * s / (a + 1e-9)
+
+
+def count_params(tree) -> int:
+    return sum(int(np.prod(a.shape)) for a in jax.tree.leaves(tree))
