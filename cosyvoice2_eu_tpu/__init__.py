@@ -1,0 +1,203 @@
+"""cosyvoice2_eu_tpu — TPU-native (JAX/XLA/Pallas) CosyVoice2-EU framework.
+
+Public API mirrors the reference PyPI package
+(reference: standalone_infer/src/cosyvoice2_eu/__init__.py:33-129):
+
+    import cosyvoice2_eu_tpu as cosy
+    model = cosy.load(model_dir=...)            # reference .pt checkpoints
+    wav, sr = model.tts("Bonjour !", "prompt.wav")
+    for chunk in model.stream("Bonjour !", "prompt.wav"):
+        ...
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from cosyvoice2_eu_tpu.config import TTSConfig
+
+__version__ = "0.1.0"
+__all__ = ["load", "Cosy2EU", "TTSConfig", "resolve_checkpoint_files", "__version__"]
+
+
+def resolve_checkpoint_files(
+    model_dir: str,
+    setting: str = "llm_flow_hifigan",
+    llm_run_id: Optional[str] = None,
+    flow_run_id: Optional[str] = None,
+    hifigan_run_id: Optional[str] = None,
+    final: bool = True,
+) -> dict:
+    """Checkpoint-selection matrix: setting x run_id x final -> file paths.
+
+    Reproduces cosy_repo/cosyvoice/cli/cosyvoice.py:239-268 semantics:
+    ``final`` loads {llm,flow,hift}.pt; otherwise components named in
+    ``setting`` with a run_id load ``{key}-{run_id}.pt`` and the rest load
+    ``{key}-original.pt``.
+    """
+    if final:
+        tokens = {"llm", "flow", "hifigan"}
+    elif setting == "original":
+        tokens = set()
+    else:
+        tokens = set(setting.split("_"))
+        allowed = {"llm", "flow", "hifigan"}
+        if tokens - allowed:
+            raise ValueError(
+                'setting must be "original" or underscore-joined subset of '
+                f'{{llm,flow,hifigan}}, got {setting!r}'
+            )
+    chosen = {}
+    for key, run_id in (("llm", llm_run_id), ("flow", flow_run_id), ("hift", hifigan_run_id)):
+        token = "hifigan" if key == "hift" else key
+        if final or (token in tokens and run_id is not None):
+            suffix = "" if final else f"-{run_id}"
+        else:
+            suffix = "-original"
+        chosen[key] = os.path.join(model_dir, f"{key}{suffix}.pt")
+    return chosen
+
+
+class Cosy2EU:
+    """High-level inference wrapper (tts / stream / modes)."""
+
+    def __init__(self, model, frontend, cfg: TTSConfig):
+        self._model = model
+        self._frontend = frontend
+        self._cfg = cfg
+        self._prompt_cache: dict = {}
+
+    @property
+    def sample_rate(self) -> int:
+        return self._cfg.sample_rate
+
+    def _prepare(self, prompt, prompt_text: str = "", **precomputed):
+        if isinstance(prompt, str):
+            key = (prompt, prompt_text)
+            if key not in self._prompt_cache:
+                from cosyvoice2_eu_tpu.frontend.frontend import load_wav
+
+                wav = load_wav(prompt, self._cfg.frontend.prompt_sr)
+                self._prompt_cache[key] = self._frontend.extract_prompt(
+                    wav, prompt_text, **precomputed
+                )
+            return self._prompt_cache[key]
+        if isinstance(prompt, dict):
+            return prompt
+        return self._frontend.extract_prompt(np.asarray(prompt), prompt_text, **precomputed)
+
+    def tts(
+        self,
+        text: str,
+        prompt,
+        *,
+        prompt_text: str = "",
+        speed: float = 1.0,
+        text_frontend: bool = False,
+        mode: str = "cross_lingual",
+        **precomputed,
+    ) -> Tuple[np.ndarray, int]:
+        """Synthesize; returns (waveform (1, T) float32, sample_rate)."""
+        chunks = list(
+            self._generate(text, prompt, prompt_text, False, speed, text_frontend, mode,
+                           **precomputed)
+        )
+        return np.concatenate(chunks)[None], self.sample_rate
+
+    def stream(
+        self,
+        text: str,
+        prompt,
+        *,
+        prompt_text: str = "",
+        speed: float = 1.0,
+        text_frontend: bool = False,
+        mode: str = "cross_lingual",
+        **precomputed,
+    ) -> Iterator[np.ndarray]:
+        """Yield waveform chunks (1, t) for streaming playback."""
+        for chunk in self._generate(
+            text, prompt, prompt_text, True, speed, text_frontend, mode, **precomputed
+        ):
+            yield chunk[None]
+
+    def _generate(self, text, prompt, prompt_text, stream, speed, text_frontend, mode,
+                  **precomputed):
+        prompt_art = self._prepare(prompt, prompt_text, **precomputed)
+        segments = (
+            self._frontend.normalize_text(text, split=True) if text_frontend else [text]
+        )
+        build = {
+            "zero_shot": self._frontend.frontend_zero_shot,
+            "cross_lingual": self._frontend.frontend_cross_lingual,
+        }[mode]
+        for seg in segments:
+            inputs = build(seg, prompt_art)
+            yield from self._model.tts(inputs, stream=stream, speed=speed)
+
+    def add_zero_shot_spk(self, prompt_text: str, prompt, spk_id: str) -> bool:
+        art = self._prepare(prompt, prompt_text)
+        return self._frontend.add_zero_shot_spk(spk_id, art)
+
+
+def load(
+    *,
+    model_dir: Optional[str] = None,
+    setting: str = "llm_flow_hifigan",
+    llm_run_id: Optional[str] = None,
+    flow_run_id: Optional[str] = None,
+    hifigan_run_id: Optional[str] = None,
+    final: Optional[bool] = None,
+    config: Optional[TTSConfig] = None,
+    seed: int = 0,
+) -> Cosy2EU:
+    """Load the model once and reuse for multiple in-memory calls.
+
+    model_dir must contain the reference checkpoints (llm.pt/flow.pt/hift.pt
+    naming matrix) plus the Qwen tokenizer files.  With model_dir=None a
+    random-initialized model is built (smoke tests / benchmarking shapes).
+    """
+    from cosyvoice2_eu_tpu.frontend.frontend import Frontend
+    from cosyvoice2_eu_tpu.frontend.tokenizer import get_tokenizer
+    from cosyvoice2_eu_tpu.runtime.model import TTSModel
+
+    cfg = config or TTSConfig()
+    if model_dir is not None:
+        from cosyvoice2_eu_tpu.runtime.checkpoint import (
+            convert_flow,
+            convert_hift,
+            convert_llm,
+            load_torch_state,
+        )
+
+        files = resolve_checkpoint_files(
+            model_dir, setting, llm_run_id, flow_run_id, hifigan_run_id,
+            final=(True if final is None else final),
+        )
+        params = {
+            "llm": convert_llm(load_torch_state(files["llm"]), cfg.llm),
+            "flow": convert_flow(load_torch_state(files["flow"]), cfg.flow),
+            "hift": convert_hift(load_torch_state(files["hift"]), cfg.hift),
+        }
+        tokenizer = get_tokenizer(model_dir)
+    else:
+        import jax
+
+        from cosyvoice2_eu_tpu.models.flow import init_flow
+        from cosyvoice2_eu_tpu.models.hift import init_hift
+        from cosyvoice2_eu_tpu.models.llm import init_lm
+
+        k1, k2, k3 = jax.random.split(jax.random.key(seed), 3)
+        params = {
+            "llm": init_lm(k1, cfg.llm),
+            "flow": init_flow(k2, cfg.flow),
+            "hift": init_hift(k3, cfg.hift),
+        }
+        tokenizer = get_tokenizer("")
+
+    model = TTSModel(cfg, params, seed=seed)
+    frontend = Frontend(cfg, tokenizer=tokenizer)
+    return Cosy2EU(model, frontend, cfg)

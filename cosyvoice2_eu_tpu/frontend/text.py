@@ -1,0 +1,212 @@
+"""Multilingual text normalization + sentence packing (host-side).
+
+Re-expression of the reference frontend's FR/DE/EN normalization fallbacks and
+token-budget paragraph splitting (reference: cosy_repo/cosyvoice/cli/frontend.py:
+64-140 German fallbacks, 380-480 text_normalize;
+cosy_repo/cosyvoice/utils/frontend_utils.py:77-199 French rules +
+split_paragraph).  Number spelling is native (frontend/numbers.py) instead of
+num2words/inflect; language ID is heuristic (the reference's lingua detector is
+optional there too).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, List
+
+from cosyvoice2_eu_tpu.frontend.numbers import (
+    number_to_words_de,
+    number_to_words_en,
+    number_to_words_fr,
+    ordinal_to_words_de,
+)
+
+_FRENCH_CHARS = re.compile(r"[àâäéèêëïîôùûüÿç]")
+_FRENCH_WORDS = re.compile(
+    r"\b(le|la|les|un|une|des|du|de|et|est|avec|dans|pour|sur|par|ce|cette|qui|"
+    r"que|dont|où|si|mais|ou|donc|car|ni|or|je|tu|il|elle|nous|vous|ils|elles|"
+    r"mon|ma|mes|ton|ta|tes|son|sa|ses|notre|votre|leur|leurs|bonjour|bonsoir|"
+    r"merci|salut|français|habite|appelle|travaille)\b",
+    re.IGNORECASE,
+)
+_GERMAN_CHARS = re.compile(r"[äöüÄÖÜß]")
+_GERMAN_WORDS = re.compile(
+    r"\b(und|oder|nicht|mit|ist|ein|eine|der|die|das|zum|beispiel|bzw|genau|"
+    r"genommen|seit|schon|bereits|heute|gestern|morgen|wird|wurden?|kann|"
+    r"können|deutsch|ich|sie|wir|ihr|sind|haben|hat|sehr|auch)\b",
+    re.IGNORECASE,
+)
+
+
+def detect_language(text: str) -> str:
+    """Heuristic FR/DE/EN language id (per sentence)."""
+    fr_score = (2 if _FRENCH_CHARS.search(text) else 0) + len(_FRENCH_WORDS.findall(text))
+    de_score = (2 if _GERMAN_CHARS.search(text) else 0) + len(_GERMAN_WORDS.findall(text))
+    if fr_score >= 2 and fr_score >= de_score:
+        return "fr"
+    if de_score >= 2:
+        return "de"
+    return "en"
+
+
+def remove_bracket(text: str) -> str:
+    for ch in ("（", "）", "【", "】", "`"):
+        text = text.replace(ch, "")
+    return text.replace("——", " ")
+
+
+# ---------------------------------------------------------------------------
+# French
+# ---------------------------------------------------------------------------
+
+_FR_ABBREV = [
+    (r"\bM\.", "monsieur"),
+    (r"\bMme\.?", "madame"),
+    (r"\bMlle\.?", "mademoiselle"),
+    (r"\bDr\.", "docteur"),
+    (r"\bPr\.", "professeur"),
+    (r"\bSt\.", "saint"),
+    (r"\bCie\.?", "compagnie"),
+    (r"\betc\.", "et cetera"),
+    (r"\bc-à-d\.?", "c'est-à-dire"),
+    (r"\bp\.ex\.", "par exemple"),
+    (r"\bav\.", "avenue"),
+    (r"\bbd\.?", "boulevard"),
+    (r"\bpl\.", "place"),
+]
+
+_FR_SYMBOLS = [
+    ("&", " et "), ("@", " arobase "), ("%", " pour cent "), ("#", " dièse "),
+    ("$", " dollar "), ("€", " euros "), ("£", " livres "), ("°", " degrés "),
+    ("+", " plus "), ("=", " égal "),
+]
+
+
+def normalize_french(text: str) -> str:
+    for pat, rep in _FR_ABBREV:
+        text = re.sub(pat, rep, text, flags=re.IGNORECASE)
+    text = re.sub(r"\b\d+\b", lambda m: number_to_words_fr(int(m.group())), text)
+    for sym, rep in _FR_SYMBOLS:
+        text = text.replace(sym, rep)
+    text = remove_bracket(text)
+    return re.sub(r"\s+", " ", text).strip()
+
+
+# ---------------------------------------------------------------------------
+# German
+# ---------------------------------------------------------------------------
+
+_DE_ABBREV = [
+    (r"\bz\.?\s?B\.?\b", "zum Beispiel"),
+    (r"\bu\.?\s?a\.?\b", "unter anderem"),
+    (r"\bbzw\.?\b", "beziehungsweise"),
+    (r"\bca\.?\b", "circa"),
+    (r"\bd\.?\s?h\.?\b", "das heißt"),
+    (r"\binsb\.?\b", "insbesondere"),
+    (r"\bNr\.?\b", "Nummer"),
+]
+
+_DE_DIGIT_WORDS = {
+    "0": "null", "1": "eins", "2": "zwei", "3": "drei", "4": "vier",
+    "5": "fünf", "6": "sechs", "7": "sieben", "8": "acht", "9": "neun",
+}
+
+
+def normalize_german(text: str) -> str:
+    for pat, rep in _DE_ABBREV:
+        text = re.sub(pat, rep, text, flags=re.IGNORECASE)
+    # ordinals like "1." before a space/end
+    text = re.sub(r"\b(\d+)\.(?=\s|$)", lambda m: ordinal_to_words_de(int(m.group(1))), text)
+    # decimals "3,14" -> "drei Komma eins vier"
+    def _dec(m):
+        s = m.group(0).replace(".", "").replace(" ", "")
+        intp, frac = s.split(",", 1)
+        frac_spelled = " ".join(_DE_DIGIT_WORDS.get(ch, ch) for ch in frac)
+        return f"{number_to_words_de(int(intp))} Komma {frac_spelled}"
+
+    text = re.sub(r"\b\d{1,3}(?:[.\s]\d{3})*,\d+\b", _dec, text)
+    # grouped thousands then plain integers
+    def _int(m):
+        return number_to_words_de(int(m.group(0).replace(".", "").replace(" ", "")))
+
+    text = re.sub(r"\b\d{1,3}(?:[.\s]\d{3})+\b", _int, text)
+    text = re.sub(r"\b\d+\b", _int, text)
+    text = text.replace("€", " Euro ").replace("%", " Prozent ")
+    text = re.sub(r"\bkm/?h\b", " Kilometer pro Stunde ", text, flags=re.IGNORECASE)
+    text = text.replace("&", " und ").replace("@", " at ").replace("§", " Paragraph ")
+    text = text.replace("°C", " Grad Celsius ")
+    text = remove_bracket(text)
+    return re.sub(r"\s+", " ", text).strip()
+
+
+def normalize_english(text: str) -> str:
+    text = re.sub(r"\b\d+\b", lambda m: number_to_words_en(int(m.group())), text)
+    text = text.replace("%", " percent ").replace("&", " and ").replace("€", " euros ")
+    text = remove_bracket(text)
+    return re.sub(r"\s+", " ", text).strip()
+
+
+_NORMALIZERS = {"fr": normalize_french, "de": normalize_german, "en": normalize_english}
+
+_SENT_BOUNDARY = re.compile(r"(?<=[.!?;:])\s+")
+_ONLY_PUNCT = re.compile(r"^[\s.,!?;:'\"«»()\-–—…]*$")
+
+
+def is_only_punctuation(text: str) -> bool:
+    return bool(_ONLY_PUNCT.match(text))
+
+
+def split_sentences(text: str) -> List[str]:
+    return [s for s in _SENT_BOUNDARY.split(text.strip()) if s]
+
+
+def pack_segments(
+    sentences: List[str],
+    token_count: Callable[[str], int],
+    token_max_n: int = 80,
+    token_min_n: int = 60,
+    merge_len: int = 20,
+) -> List[str]:
+    """Greedy packing of sentences into token-bounded segments
+    (reference split_paragraph, frontend_utils.py:137-199)."""
+    out: List[str] = []
+    cur = ""
+    for s in sentences:
+        if cur and token_count(cur + " " + s) > token_max_n and token_count(cur) > token_min_n:
+            out.append(cur)
+            cur = ""
+        cur = (cur + " " + s).strip() if cur else s
+    if cur:
+        if out and token_count(cur) < merge_len:
+            out[-1] = out[-1] + " " + cur
+        else:
+            out.append(cur)
+    return out
+
+
+def text_normalize(
+    text: str,
+    token_count: Callable[[str], int],
+    split: bool = True,
+    lang: str | None = None,
+    token_max_n: int = 80,
+    token_min_n: int = 60,
+    merge_len: int = 20,
+):
+    """Normalize and (optionally) split text into synthesis segments.
+
+    Mirrors CosyVoiceFrontEnd.text_normalize semantics (frontend.py:419):
+    per-sentence language detection + normalization, then token-budget packing.
+    """
+    text = text.strip()
+    if not text:
+        return [""] if split else ""
+    sents = split_sentences(text)
+    normalized = []
+    for s in sents:
+        slang = lang or detect_language(s)
+        normalized.append(_NORMALIZERS.get(slang, normalize_english)(s))
+    if not split:
+        return " ".join(normalized)
+    segs = pack_segments(normalized, token_count, token_max_n, token_min_n, merge_len)
+    return [s for s in segs if not is_only_punctuation(s)]

@@ -1,0 +1,78 @@
+"""Qwen text tokenizer wrapper (host-side).
+
+Mirrors the reference QwenTokenizer
+(reference: cosy_repo/cosyvoice/tokenizer/tokenizer.py:244-302): an HF
+AutoTokenizer plus CosyVoice's 19 paralinguistic / control special tokens,
+auto-enabled for BlankEN/CosyVoice backbones.  Falls back to a deterministic
+byte-level tokenizer when no HF vocabulary is available (offline tests).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import List
+
+COSYVOICE_SPECIAL_TOKENS = [
+    "<|im_start|>", "<|im_end|>", "<|endofprompt|>",
+    "[breath]", "<strong>", "</strong>", "[noise]",
+    "[laughter]", "[cough]", "[clucking]", "[accent]",
+    "[quick_breath]",
+    "<laughter>", "</laughter>",
+    "[hissing]", "[sigh]", "[vocalized-noise]",
+    "[lipsmack]", "[mn]",
+]
+
+
+class QwenTokenizer:
+    def __init__(self, token_path: str, skip_special_tokens: bool = True,
+                 add_additional_specials: bool | None = None):
+        from transformers import AutoTokenizer
+
+        if add_additional_specials is None:
+            low = (token_path or "").lower()
+            add_additional_specials = (
+                token_path == "" or "blanken" in low or "cosyvoice" in low
+            )
+        self.tokenizer = AutoTokenizer.from_pretrained(token_path)
+        if add_additional_specials:
+            self.tokenizer.add_special_tokens(
+                {
+                    "eos_token": "<|endoftext|>",
+                    "pad_token": "<|endoftext|>",
+                    "additional_special_tokens": COSYVOICE_SPECIAL_TOKENS,
+                }
+            )
+        elif self.tokenizer.pad_token is None:
+            self.tokenizer.pad_token = self.tokenizer.eos_token
+        self.skip_special_tokens = skip_special_tokens
+
+    def encode(self, text: str, **kwargs) -> List[int]:
+        return self.tokenizer([text])["input_ids"][0]
+
+    def decode(self, tokens: List[int]) -> str:
+        return self.tokenizer.batch_decode(
+            [tokens], skip_special_tokens=self.skip_special_tokens
+        )[0]
+
+    def __len__(self) -> int:
+        return len(self.tokenizer)
+
+
+class ByteFallbackTokenizer:
+    """UTF-8 byte tokenizer for tests / environments without an HF vocab."""
+
+    def encode(self, text: str, **kwargs) -> List[int]:
+        return list(text.encode("utf-8"))
+
+    def decode(self, tokens: List[int]) -> str:
+        return bytes(int(t) for t in tokens).decode("utf-8", errors="replace")
+
+    def __len__(self) -> int:
+        return 256
+
+
+@lru_cache(maxsize=None)
+def get_tokenizer(token_path: str = "", skip_special_tokens: bool = True):
+    if not token_path:
+        return ByteFallbackTokenizer()
+    return QwenTokenizer(token_path, skip_special_tokens)

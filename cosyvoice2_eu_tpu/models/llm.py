@@ -172,14 +172,15 @@ def lm_decode_chunk(
     min_len: jnp.ndarray,
     max_len: jnp.ndarray,
     p_bucket: int,
-    n_steps: int,
+    target_step: jnp.ndarray,
 ):
-    """Decode up to n_steps more tokens (streaming chunk); same body as
+    """Decode until ``state.step == target_step`` (dynamic bound, so one
+    compiled program serves every streaming chunk size); same body as
     lm_decode but resumable — used by the chunked streaming runtime."""
     max_cache = state.kv.k.shape[3]
     max_gen = state.tokens.shape[1]
     slot_idx = jnp.arange(max_cache, dtype=jnp.int32)[None, :]
-    target = jnp.minimum(state.step + n_steps, max_gen)
+    target = jnp.minimum(target_step, max_gen)
 
     def cond(st: DecodeState):
         return (~jnp.all(st.finished)) & (st.step < target)

@@ -20,11 +20,15 @@ import numpy as np
 _MATMUL_DFT_MAX = 64
 
 
-def hann_window(win_size: int, dtype=jnp.float32) -> jnp.ndarray:
-    """Periodic Hann window (scipy.signal.get_window('hann', n, fftbins=True))."""
+def hann_window(win_size: int, dtype=np.float32) -> np.ndarray:
+    """Periodic Hann window (scipy.signal.get_window('hann', n, fftbins=True)).
+
+    Returned as a host numpy array: istft folds the squared-window OLA
+    envelope at trace time, so the window must stay concrete.
+    """
     n = np.arange(win_size)
     w = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_size)
-    return jnp.asarray(w, dtype=dtype)
+    return np.asarray(w).astype(dtype)
 
 
 def frame(x: jnp.ndarray, frame_length: int, hop: int) -> jnp.ndarray:
@@ -113,9 +117,9 @@ def istft(
     sig = jnp.zeros((flat.shape[0], out_len), flat.dtype)
     sig = sig.at[:, idx_flat].add(flat.reshape(flat.shape[0], -1))
 
-    # window envelope normalization (NOLA)
+    # window envelope normalization (NOLA); window must be host-concrete
     wsq = np.zeros(out_len, dtype=np.float32)
-    w2 = np.asarray(jnp.square(window))
+    w2 = np.square(np.asarray(window, dtype=np.float32))
     for f in range(n_frames):
         wsq[f * hop : f * hop + n_fft] += w2
     sig = sig / jnp.asarray(np.maximum(wsq, 1e-11))

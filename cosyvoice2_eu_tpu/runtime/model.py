@@ -1,0 +1,310 @@
+"""TTS pipeline orchestrator: LM decode -> flow mel -> HiFT waveform.
+
+TPU-native replacement for the reference CosyVoice2Model
+(reference: cosy_repo/cosyvoice/cli/model.py:255).  Differences by design:
+
+* No producer thread / 100 ms polling (model.py:347,355): streaming is a
+  chunk-synchronous schedule on one device — decode ``token_hop_len +
+  lookahead`` LM tokens (resumable lax.while_loop), then synthesize the chunk
+  through flow + HiFT, yield, repeat.  Session state (KV cache, emitted
+  tokens, vocoder caches) is an explicit pytree, not uuid-keyed dicts.
+* Static shapes: prompts and token streams are right-padded to power-of-two-ish
+  buckets; each (bucket, mode) pair compiles once and is cached.
+* HiFT mel input is padded by edge replication inside a bucket; the valid
+  samples are cut on the host.  Chunk crossfade (Hamming window) and cache
+  splicing follow the reference exactly (model.py:313-326, common.py:142).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from dataclasses import dataclass
+from typing import Generator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cosyvoice2_eu_tpu.config import TTSConfig
+from cosyvoice2_eu_tpu.models import llm as llm_mod
+from cosyvoice2_eu_tpu.models.flow import flow_inference
+from cosyvoice2_eu_tpu.models.hift import hift_inference
+
+TOKEN_BUCKETS = (64, 128, 256, 512, 1024)
+
+
+def bucket_for(n: int, buckets=TOKEN_BUCKETS) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"length {n} exceeds max bucket {buckets[-1]}")
+
+
+@dataclass
+class PromptInputs:
+    """Host-side prompt artifacts (produced by the frontend)."""
+
+    text_tokens: np.ndarray  # (T_text,) target text -> backbone ids
+    prompt_text_tokens: np.ndarray  # (T_ptext,) prompt transcription ids
+    llm_prompt_speech_tokens: np.ndarray  # (T_sp,) FSQ codes for the LM
+    flow_prompt_speech_tokens: np.ndarray  # (T_sp,) FSQ codes for the flow
+    prompt_feat: np.ndarray  # (T_mel, 80) prompt mel (2x speech tokens)
+    embedding: np.ndarray  # (192,) x-vector
+
+
+class TTSModel:
+    def __init__(self, cfg: TTSConfig, params: dict, seed: int = 0):
+        self.cfg = cfg
+        self.params = params
+        self.seed = seed
+        self._rng = jax.random.key(seed)
+
+        stream = cfg.stream
+        self.token_hop_len = stream.token_hop_len
+        self.pre_lookahead_len = stream.pre_lookahead_len
+        self.mel_cache_len = stream.mel_cache_len
+        self.source_cache_len = stream.source_cache_len
+        self.speech_window = np.hamming(2 * self.source_cache_len)
+
+    # ------------------------------------------------------------------
+    # jitted stage functions (cached per static-shape signature)
+    # ------------------------------------------------------------------
+
+    @functools.lru_cache(maxsize=32)
+    def _lm_decode_fn(self, p_bucket: int, max_gen: int):
+        def fn(params, ids, src, prompt_len, min_len, max_len, rng):
+            return llm_mod.lm_decode(
+                params, self.cfg.llm, ids, src, prompt_len, min_len, max_len, rng, max_gen
+            )
+
+        return jax.jit(fn)
+
+    @functools.lru_cache(maxsize=32)
+    def _lm_prefill_fn(self, p_bucket: int, max_gen: int):
+        def fn(params, ids, src, prompt_len, rng):
+            return llm_mod.lm_prefill(params, self.cfg.llm, ids, src, prompt_len, rng, max_gen)
+
+        return jax.jit(fn)
+
+    @functools.lru_cache(maxsize=32)
+    def _lm_chunk_fn(self, p_bucket: int):
+        def fn(params, state, prompt_len, min_len, max_len, target_step):
+            return llm_mod.lm_decode_chunk(
+                params, self.cfg.llm, state, prompt_len, min_len, max_len, p_bucket, target_step
+            )
+
+        return jax.jit(fn)
+
+    @functools.lru_cache(maxsize=64)
+    def _flow_fn(self, tok_bucket: int, streaming: bool, finalize: bool):
+        def fn(params, token, token_len, prompt_feat, prompt_feat_len, embedding):
+            return flow_inference(
+                params, self.cfg.flow, token, token_len, prompt_feat, prompt_feat_len,
+                embedding, streaming=streaming, finalize=finalize,
+            )
+
+        return jax.jit(fn)
+
+    @functools.lru_cache(maxsize=64)
+    def _hift_fn(self, mel_bucket: int, with_cache: bool):
+        def fn(params, mel, rng, cache_source, cache_len):
+            return hift_inference(
+                params, self.cfg.hift, mel, rng,
+                cache_source=cache_source if with_cache else None,
+                cache_len=cache_len if with_cache else None,
+            )
+
+        return jax.jit(fn)
+
+    # ------------------------------------------------------------------
+    # host-side helpers
+    # ------------------------------------------------------------------
+
+    def _pack_lm_prompt(self, p: PromptInputs):
+        """[sos, prompt_text, text, task_id, prompt_speech] as (ids, src).
+
+        Mirrors the reference unistream prompt assembly (llm.py:626-641).
+        """
+        cfg = self.cfg.llm
+        text = np.concatenate([p.prompt_text_tokens, p.text_tokens]).astype(np.int32)
+        n_text, n_sp = len(text), len(p.llm_prompt_speech_tokens)
+        total = 1 + n_text + 1 + n_sp
+        p_bucket = bucket_for(total)
+        ids = np.zeros((1, p_bucket), np.int32)
+        src = np.zeros((1, p_bucket), np.int32)
+        ids[0, 0], src[0, 0] = cfg.sos_eos, llm_mod.SRC_SPECIAL
+        ids[0, 1 : 1 + n_text], src[0, 1 : 1 + n_text] = text, llm_mod.SRC_TEXT
+        ids[0, 1 + n_text], src[0, 1 + n_text] = cfg.task_id, llm_mod.SRC_SPECIAL
+        if n_sp:
+            ids[0, 2 + n_text : total] = p.llm_prompt_speech_tokens
+            src[0, 2 + n_text : total] = llm_mod.SRC_SPEECH
+        n_target_text = len(p.text_tokens)
+        min_len = int(n_target_text * cfg.min_token_text_ratio)
+        max_len = int(n_target_text * cfg.max_token_text_ratio)
+        return ids, src, total, p_bucket, min_len, max_len
+
+    def _next_rng(self):
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    def _token2wav(
+        self,
+        all_tokens: np.ndarray,
+        p: PromptInputs,
+        token_offset: int,
+        session: dict,
+        stream: bool,
+        finalize: bool,
+        speed: float = 1.0,
+    ) -> np.ndarray:
+        """flow + hift for one chunk; mirrors CosyVoice2Model.token2wav
+        (cli/model.py:300-334)."""
+        cfg = self.cfg
+        ratio = cfg.flow.token_mel_ratio
+        prompt_tok = p.flow_prompt_speech_tokens.astype(np.int32)
+        tokens = np.concatenate([prompt_tok, all_tokens.astype(np.int32)])
+        total = len(tokens)
+        tok_bucket = bucket_for(total)
+        tok_arr = np.zeros((1, tok_bucket), np.int32)
+        tok_arr[0, :total] = tokens
+
+        prompt_mel_len = p.prompt_feat.shape[0]
+        mel_bucket = tok_bucket * ratio
+        feat = np.zeros((1, mel_bucket, cfg.flow.output_size), np.float32)
+        feat[0, :prompt_mel_len] = p.prompt_feat
+
+        flow_fn = self._flow_fn(tok_bucket, stream, finalize)
+        mel = flow_fn(
+            self.params["flow"],
+            jnp.asarray(tok_arr),
+            jnp.asarray([total]),
+            jnp.asarray(feat),
+            jnp.asarray([prompt_mel_len]),
+            jnp.asarray(p.embedding[None]),
+        )
+        mel = np.asarray(mel)  # (1, 80, mel_bucket-ish)
+        mel_valid = total * ratio if finalize else (total - self.pre_lookahead_len) * ratio
+        tts_mel = mel[:, :, prompt_mel_len + token_offset * ratio : mel_valid]
+
+        # prepend hift mel cache
+        cache = session.get("hift_cache")
+        if cache is not None:
+            tts_mel = np.concatenate([cache["mel"], tts_mel], axis=2)
+            cache_source = cache["source"]
+        else:
+            cache_source = np.zeros((1, 1, 0), np.float32)
+
+        if finalize and speed != 1.0:
+            # linear mel interpolation for speed control (model.py:328-330)
+            T = tts_mel.shape[2]
+            new_T = int(T / speed)
+            xp = np.linspace(0, T - 1, T)
+            xq = np.linspace(0, T - 1, new_T)
+            tts_mel = np.stack(
+                [np.stack([np.interp(xq, xp, row) for row in ch]) for ch in tts_mel]
+            ).astype(np.float32)
+
+        # hift on an edge-replicated mel bucket
+        T_mel = tts_mel.shape[2]
+        h_bucket = bucket_for(T_mel, buckets=(32, 64, 128, 256, 512, 1024, 2048))
+        mel_in = np.concatenate(
+            [tts_mel, np.repeat(tts_mel[:, :, -1:], h_bucket - T_mel, axis=2)], axis=2
+        )
+        c_len = cache_source.shape[2]
+        cache_buf = np.zeros((1, 1, self.source_cache_len), np.float32)
+        cache_buf[:, :, :c_len] = cache_source
+        hift_fn = self._hift_fn(h_bucket, True)
+        audio, source = hift_fn(
+            self.params["hift"],
+            jnp.asarray(mel_in),
+            self._next_rng(),
+            jnp.asarray(cache_buf),
+            jnp.asarray(c_len),
+        )
+        n_samples = T_mel * self.cfg.hift.upsample_scale
+        audio = np.asarray(audio)[0, :n_samples]
+        source = np.asarray(source)[:, :, :n_samples]
+
+        if not finalize:
+            if cache is not None:
+                audio = _fade_in_out(audio, cache["speech"], self.speech_window)
+            session["hift_cache"] = {
+                "mel": tts_mel[:, :, -self.mel_cache_len :],
+                "source": source[:, :, -self.source_cache_len :],
+                "speech": audio[-self.source_cache_len :],
+            }
+            audio = audio[: -self.source_cache_len]
+        else:
+            if cache is not None:
+                audio = _fade_in_out(audio, cache["speech"], self.speech_window)
+        return audio
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    def tts(
+        self,
+        prompt: PromptInputs,
+        stream: bool = False,
+        speed: float = 1.0,
+    ) -> Generator[np.ndarray, None, None]:
+        """Yield waveform chunks (float32 at cfg.sample_rate)."""
+        ids, src, prompt_len, p_bucket, min_len, max_len = self._pack_lm_prompt(prompt)
+        # round up to a multiple of 64, capped by the KV-cache capacity
+        max_gen = min(((max_len + 63) // 64) * 64, self.cfg.llm.max_seq_len - p_bucket)
+        session: dict = {"hift_cache": None}
+
+        if not stream:
+            fn = self._lm_decode_fn(p_bucket, max_gen)
+            tokens, lengths = fn(
+                self.params["llm"], jnp.asarray(ids), jnp.asarray(src),
+                jnp.asarray([prompt_len]), jnp.asarray([min_len]), jnp.asarray([max_len]),
+                self._next_rng(),
+            )
+            tokens = np.asarray(tokens)[0, : int(lengths[0])]
+            yield self._token2wav(tokens, prompt, 0, session, False, True, speed)
+            return
+
+        # streaming: resumable decode chunks interleaved with synthesis
+        prefill = self._lm_prefill_fn(p_bucket, max_gen)
+        state = prefill(
+            self.params["llm"], jnp.asarray(ids), jnp.asarray(src),
+            jnp.asarray([prompt_len]), self._next_rng(),
+        )
+        hop = self.token_hop_len
+        la = self.pre_lookahead_len
+        prompt_sp = len(prompt.flow_prompt_speech_tokens)
+        prompt_pad = int(np.ceil(prompt_sp / hop) * hop - prompt_sp)
+        token_offset = 0
+        min_a, max_a = jnp.asarray([min_len]), jnp.asarray([max_len])
+        pl = jnp.asarray([prompt_len])
+
+        chunk_fn = self._lm_chunk_fn(p_bucket)
+        while True:
+            this_hop = hop + prompt_pad if token_offset == 0 else hop
+            need = token_offset + this_hop + la
+            if int(state.step) < need and not bool(jnp.all(state.finished)):
+                state = chunk_fn(
+                    self.params["llm"], state, pl, min_a, max_a, jnp.asarray(need)
+                )
+            n_avail = int(state.lengths[0])
+            done = bool(state.finished[0]) or int(state.step) >= state.tokens.shape[1]
+            if n_avail - token_offset >= this_hop + la:
+                chunk_tokens = np.asarray(state.tokens)[0, : token_offset + this_hop + la]
+                audio = self._token2wav(chunk_tokens, prompt, token_offset, session, True, False)
+                token_offset += this_hop
+                yield audio
+            elif done:
+                break
+        final_tokens = np.asarray(state.tokens)[0, : int(state.lengths[0])]
+        yield self._token2wav(final_tokens, prompt, token_offset, session, False, True, speed)
+
+
+def _fade_in_out(fade_in: np.ndarray, fade_out: np.ndarray, window: np.ndarray) -> np.ndarray:
+    """Hamming crossfade of chunk boundaries (reference utils/common.py:142)."""
+    ov = window.shape[0] // 2
+    out = fade_in.copy()
+    out[:ov] = fade_in[:ov] * window[:ov] + fade_out[-ov:] * window[ov:]
+    return out

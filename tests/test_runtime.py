@@ -1,0 +1,79 @@
+"""End-to-end pipeline test on the tiny config: LM -> flow -> HiFT."""
+
+import jax
+import numpy as np
+import pytest
+
+from cosyvoice2_eu_tpu.config import tiny_test_config
+from cosyvoice2_eu_tpu.models.flow import init_flow
+from cosyvoice2_eu_tpu.models.hift import init_hift
+from cosyvoice2_eu_tpu.models.llm import init_lm
+from cosyvoice2_eu_tpu.runtime.model import PromptInputs, TTSModel, bucket_for, _fade_in_out
+
+CFG = tiny_test_config()
+
+
+@pytest.fixture(scope="module")
+def model():
+    k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
+    params = {
+        "llm": init_lm(k1, CFG.llm),
+        "flow": init_flow(k2, CFG.flow),
+        "hift": init_hift(k3, CFG.hift),
+    }
+    return TTSModel(CFG, params, seed=7)
+
+
+def _prompt():
+    rng = np.random.default_rng(0)
+    n_sp = 6
+    return PromptInputs(
+        text_tokens=rng.integers(2, 200, 12).astype(np.int32),
+        prompt_text_tokens=rng.integers(2, 200, 4).astype(np.int32),
+        llm_prompt_speech_tokens=rng.integers(0, CFG.llm.speech_token_size, n_sp).astype(np.int32),
+        flow_prompt_speech_tokens=rng.integers(0, CFG.flow.vocab_size, n_sp).astype(np.int32),
+        prompt_feat=rng.standard_normal((n_sp * 2, CFG.flow.output_size)).astype(np.float32),
+        embedding=rng.standard_normal(CFG.frontend.spk_embed_dim).astype(np.float32),
+    )
+
+
+def test_bucket_for():
+    assert bucket_for(1) == 64
+    assert bucket_for(64) == 64
+    assert bucket_for(65) == 128
+    with pytest.raises(ValueError):
+        bucket_for(10_000)
+
+
+def test_fade_in_out_crossfades():
+    win = np.hamming(8)
+    a = np.ones(16, np.float32)
+    b = np.zeros(16, np.float32)
+    out = _fade_in_out(a, b, win)
+    # first overlap samples follow the rising half of the window
+    np.testing.assert_allclose(out[:4], win[:4], atol=1e-6)
+    np.testing.assert_allclose(out[4:], 1.0, atol=1e-6)
+
+
+def test_tts_non_streaming(model):
+    chunks = list(model.tts(_prompt(), stream=False))
+    assert len(chunks) == 1
+    audio = chunks[0]
+    scale = CFG.hift.upsample_scale
+    ratio = CFG.flow.token_mel_ratio
+    # length = generated tokens * ratio * samples_per_frame
+    assert audio.ndim == 1 and len(audio) % (scale * ratio) == 0
+    assert len(audio) >= CFG.llm.min_token_text_ratio * 12 * ratio * scale * 0.5
+    assert np.isfinite(audio).all()
+
+
+def test_tts_streaming_matches_total_length(model):
+    prompt = _prompt()
+    model._rng = jax.random.key(123)
+    full = np.concatenate(list(model.tts(prompt, stream=False)))
+    model._rng = jax.random.key(123)
+    chunks = list(model.tts(prompt, stream=True))
+    streamed = np.concatenate(chunks)
+    # identical rng -> identical token stream -> identical total audio length
+    assert len(streamed) == len(full)
+    assert np.isfinite(streamed).all()
