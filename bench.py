@@ -1,0 +1,96 @@
+"""Benchmark: zero-shot TTS RTF (non-streaming) + TTFA (streaming) on one chip.
+
+RTF definition matches the reference evaluation pipeline:
+rtf = synthesis_time / generated_audio_duration
+(reference: evaluation/run_evaluation_pipeline.py:266-274).
+Baseline target (BASELINE.json north star): RTF <= 0.1 on one TPU v5e chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_RTF = 0.1  # target from BASELINE.json (reference publishes none)
+
+
+def make_prompt(cfg, rng: np.random.Generator):
+    from cosyvoice2_eu_tpu.runtime.model import PromptInputs
+
+    n_sp = 150  # 6 s prompt at 25 tokens/s
+    return PromptInputs(
+        text_tokens=rng.integers(100, 50000, 30).astype(np.int32),  # ~30-token sentence
+        prompt_text_tokens=rng.integers(100, 50000, 12).astype(np.int32),
+        llm_prompt_speech_tokens=rng.integers(0, cfg.llm.speech_token_size, n_sp).astype(np.int32),
+        flow_prompt_speech_tokens=rng.integers(0, cfg.flow.vocab_size, n_sp).astype(np.int32),
+        prompt_feat=(rng.standard_normal((n_sp * 2, 80)) * 0.5 - 4.0).astype(np.float32),
+        embedding=rng.standard_normal(192).astype(np.float32),
+    )
+
+
+def main():
+    import jax
+
+    # persistent compile cache: the build host is single-core, so XLA compiles
+    # dominate cold runs; cache them across bench invocations
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cosyvoice2_eu_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+    import cosyvoice2_eu_tpu as cosy
+
+    cfg = cosy.TTSConfig()
+    model_api = cosy.load(model_dir=None, config=cfg, seed=0)
+    model = model_api._model
+    rng = np.random.default_rng(0)
+    prompt = make_prompt(cfg, rng)
+    sr = cfg.sample_rate
+
+    # ---- warmup (compile) ----
+    t0 = time.time()
+    audio = np.concatenate(list(model.tts(prompt, stream=False)))
+    compile_s = time.time() - t0
+
+    # ---- non-streaming RTF ----
+    times, durs = [], []
+    for i in range(3):
+        model._rng = jax.random.key(i + 1)
+        t0 = time.time()
+        audio = np.concatenate(list(model.tts(prompt, stream=False)))
+        dt = time.time() - t0
+        times.append(dt)
+        durs.append(len(audio) / sr)
+    rtf = float(np.sum(times) / np.sum(durs))
+
+    # ---- streaming TTFA ----
+    model._rng = jax.random.key(99)
+    gen = model.tts(prompt, stream=True)
+    t0 = time.time()
+    first = next(gen)
+    ttfa = time.time() - t0
+    stream_audio = [first] + list(gen)
+    stream_dur = sum(len(c) for c in stream_audio) / sr
+
+    print(
+        json.dumps(
+            {
+                "metric": "rtf_non_streaming",
+                "value": round(rtf, 4),
+                "unit": "ratio",
+                "vs_baseline": round(rtf / BASELINE_RTF, 3),
+                "audio_seconds_per_run": round(float(np.mean(durs)), 2),
+                "ttfa_s": round(ttfa, 3),
+                "stream_audio_s": round(stream_dur, 2),
+                "warmup_compile_s": round(compile_s, 1),
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

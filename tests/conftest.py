@@ -7,7 +7,9 @@ tests run on XLA's host-platform device simulation.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU: the session env pins JAX_PLATFORMS=axon (one real TPU chip), but
+# tests need the 8-device simulated mesh
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"

@@ -1,0 +1,118 @@
+"""Training: sequence packing, losses, and sharded train steps on an 8-CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cosyvoice2_eu_tpu.config import TrainConfig, tiny_test_config
+from cosyvoice2_eu_tpu.models.flow import init_flow
+from cosyvoice2_eu_tpu.models.llm import init_lm
+from cosyvoice2_eu_tpu.parallel.mesh import make_mesh, replicate, shard_batch, shard_params
+from cosyvoice2_eu_tpu.parallel.train_step import (
+    init_train_state,
+    make_flow_train_step,
+    make_lm_train_step,
+)
+from cosyvoice2_eu_tpu.train.losses import label_smoothing_ce
+from cosyvoice2_eu_tpu.train.optim import make_optimizer
+from cosyvoice2_eu_tpu.train.sequences import IGNORE_ID, build_bistream, build_lm_batch, build_unistream
+
+CFG = tiny_test_config()
+TRAIN = TrainConfig(lr=1e-4, accum_grad=1)
+
+
+def test_unistream_layout():
+    cfg = CFG.llm
+    text = np.asarray([5, 6, 7], np.int32)
+    speech = np.asarray([10, 11, 12, 13], np.int32)
+    ids, src, target = build_unistream(text, speech, cfg)
+    assert len(ids) == len(src) == len(target) == 3 + 4 + 2
+    assert ids[0] == cfg.sos_eos and ids[4] == cfg.task_id
+    # task position predicts the first speech token; last predicts eos
+    assert target[4] == 10 and target[-1] == cfg.eos_token
+    assert (target[:4] == IGNORE_ID).all()
+
+
+def test_bistream_layout():
+    cfg = CFG.llm  # mix_ratio (5, 15)
+    text = np.arange(2, 9, dtype=np.int32)  # 7 text tokens -> 1 full + partial
+    speech = np.arange(30, dtype=np.int32) + 1  # 30 speech tokens (ratio > 3)
+    ids, src, target = build_bistream(text, speech, cfg)
+    assert len(ids) == len(src) == len(target)
+    fill = cfg.speech_token_size + 2
+    # first full chunk: 4 ignores then 15 speech targets then fill
+    assert (target[1:5] == IGNORE_ID).all()
+    assert target[5:20].tolist() == list(range(1, 16))
+    assert target[20] == fill
+    assert target[-1] == cfg.eos_token
+
+
+def test_label_smoothing_ce_matches_torch():
+    import torch
+
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((2, 6, 11)).astype(np.float32)
+    target = rng.integers(0, 11, (2, 6)).astype(np.int64)
+    target[0, 4:] = -1  # padding
+    loss, acc = label_smoothing_ce(jnp.asarray(logits), jnp.asarray(target), smoothing=0.0)
+    lt = torch.nn.functional.cross_entropy(
+        torch.from_numpy(logits).view(-1, 11),
+        torch.from_numpy(target).view(-1),
+        ignore_index=-1,
+    )
+    np.testing.assert_allclose(float(loss), float(lt), rtol=1e-5)
+
+
+@pytest.mark.parametrize("fsdp", [1, 2])
+def test_lm_train_step_sharded(fsdp):
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(dp=8 // fsdp, fsdp=fsdp)
+    cfg = CFG.llm
+    params = init_lm(jax.random.key(0), cfg)
+    tx = make_optimizer(TRAIN)
+
+    rng = np.random.default_rng(1)
+    texts = [rng.integers(2, 100, 6).astype(np.int32) for _ in range(8)]
+    speeches = [rng.integers(0, cfg.speech_token_size, 20).astype(np.int32) for _ in range(8)]
+    batch = build_lm_batch(texts, speeches, cfg, rng, bistream_prob=0.5, pad_to=64)
+
+    with mesh:
+        params = shard_params(params, mesh)
+        state = init_train_state(params, tx)
+        batch = shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, mesh)
+        step_fn = make_lm_train_step(cfg, TRAIN, tx)
+        state2, metrics = step_fn(state, batch)
+
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["acc"]) >= 0
+    # params actually moved
+    w0 = np.asarray(jax.device_get(state2.params["llm_decoder"]["weight"]))
+    assert not np.allclose(w0, np.asarray(jax.device_get(params["llm_decoder"]["weight"])))
+
+
+def test_flow_train_step():
+    mesh = make_mesh(dp=8, fsdp=1)
+    cfg = CFG.flow
+    params = init_flow(jax.random.key(0), cfg)
+    tx = make_optimizer(TRAIN)
+    rng = np.random.default_rng(2)
+    B, T_tok = 8, 12
+    batch = {
+        "speech_token": jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T_tok)), jnp.int32),
+        "speech_token_len": jnp.full((B,), T_tok, jnp.int32),
+        "speech_feat": jnp.asarray(
+            rng.standard_normal((B, T_tok * 2, cfg.output_size)), jnp.float32
+        ),
+        "speech_feat_len": jnp.full((B,), T_tok * 2, jnp.int32),
+        "embedding": jnp.asarray(rng.standard_normal((B, cfg.spk_embed_dim)), jnp.float32),
+    }
+    with mesh:
+        params = shard_params(params, mesh)
+        state = init_train_state(params, tx)
+        batch = shard_batch(batch, mesh)
+        step_fn = make_flow_train_step(cfg, TRAIN, tx)
+        state2, metrics = step_fn(state, batch, jax.random.key(3), streaming=False)
+        state3, metrics2 = step_fn(state2, batch, jax.random.key(4), streaming=True)
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics2["loss"]))
