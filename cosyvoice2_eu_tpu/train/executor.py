@@ -1,0 +1,128 @@
+"""Training executor: epoch loop, cross-validation, checkpoint management.
+
+Re-expression of the reference Executor + train_utils persistence
+(reference: cosy_repo/cosyvoice/utils/executor.py:26-176,
+cosy_repo/cosyvoice/utils/train_utils.py:206-246 save_model,
+cosy_repo/cosyvoice/bin/train.py:420-473 resume,
+cosy_repo/cosyvoice/bin/average_model.py:44-75 top-N averaging).
+
+Checkpoints are orbax pytrees + a YAML-ish info sidecar carrying step/epoch/
+loss, which resume and best-N selection read back.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Callable, Iterable, Optional
+
+import jax
+import numpy as np
+
+from cosyvoice2_eu_tpu.config import TrainConfig
+from cosyvoice2_eu_tpu.runtime.checkpoint import load_pytree, save_pytree
+
+
+def save_checkpoint(model_dir: str, tag: str, params, info: dict) -> str:
+    path = os.path.join(model_dir, tag)
+    save_pytree(path, jax.device_get(params))
+    with open(path + ".json", "w") as f:
+        json.dump(dict(info, tag=tag, save_time=time.strftime("%d/%m/%Y %H:%M:%S")), f, indent=2)
+    return path
+
+
+def list_checkpoints(model_dir: str) -> list[dict]:
+    out = []
+    for name in os.listdir(model_dir) if os.path.isdir(model_dir) else []:
+        if name.endswith(".json"):
+            with open(os.path.join(model_dir, name)) as f:
+                out.append(json.load(f))
+    return out
+
+
+def latest_checkpoint(model_dir: str) -> Optional[dict]:
+    """Resume picker: newest checkpoint by save order (bin/train.py:420-455)."""
+    infos = list_checkpoints(model_dir)
+    if not infos:
+        return None
+    return max(infos, key=lambda i: (i.get("epoch", -1), i.get("step", -1)))
+
+
+def average_checkpoints(model_dir: str, like, num: int = 5, metric: str = "cv_loss"):
+    """Average the top-N checkpoints by CV loss (average_model.py:44-75)."""
+    infos = [i for i in list_checkpoints(model_dir) if metric in i]
+    infos.sort(key=lambda i: i[metric])
+    chosen = infos[:num]
+    assert chosen, f"no checkpoints with {metric} in {model_dir}"
+    acc = None
+    for info in chosen:
+        tree = load_pytree(os.path.join(model_dir, info["tag"]), like)
+        if acc is None:
+            acc = jax.tree.map(lambda a: np.asarray(a, np.float64), tree)
+        else:
+            acc = jax.tree.map(lambda a, b: a + np.asarray(b, np.float64), acc, tree)
+    n = len(chosen)
+    return jax.tree.map(lambda a: (a / n).astype(np.float32), acc), [i["tag"] for i in chosen]
+
+
+class Executor:
+    """Epoch loop with grad accumulation, periodic CV + step checkpoints."""
+
+    def __init__(
+        self,
+        train_cfg: TrainConfig,
+        step_fn: Callable,
+        cv_fn: Optional[Callable] = None,
+        model_dir: str = "exp",
+        log_fn: Optional[Callable[[dict], None]] = None,
+    ):
+        self.cfg = train_cfg
+        self.step_fn = step_fn
+        self.cv_fn = cv_fn
+        self.model_dir = model_dir
+        self.log_fn = log_fn or (lambda m: None)
+        self.step = 0
+        self.epoch = 0
+        os.makedirs(model_dir, exist_ok=True)
+
+    def cross_validate(self, state, cv_batches: Iterable[dict]) -> float:
+        """Utterance-weighted CV loss (executor.py:146-176)."""
+        total, weight = 0.0, 0
+        for batch in cv_batches:
+            metrics = self.cv_fn(state.params, batch)
+            n = int(next(iter(batch.values())).shape[0])
+            total += float(metrics["loss"]) * n
+            weight += n
+        return total / max(weight, 1)
+
+    def train_epoch(self, state, train_batches: Iterable[dict], cv_batches=None):
+        cfg = self.cfg
+        for batch in train_batches:
+            state, metrics = self.step_fn(state, batch)
+            self.step += 1
+            if self.step % cfg.log_interval == 0:
+                log = {k: float(v) for k, v in metrics.items()}
+                log.update(step=self.step, epoch=self.epoch)
+                logging.info("TRAIN %s", log)
+                self.log_fn(log)
+            if (
+                cfg.save_per_step > 0
+                and self.step % cfg.save_per_step == 0
+                and cv_batches is not None
+            ):
+                cv_loss = self.cross_validate(state, cv_batches)
+                tag = f"epoch_{self.epoch}_step_{self.step}"
+                save_checkpoint(
+                    self.model_dir, tag, state.params,
+                    {"epoch": self.epoch, "step": self.step, "cv_loss": cv_loss},
+                )
+                logging.info("saved %s cv_loss=%.4f", tag, cv_loss)
+        # end of epoch
+        info = {"epoch": self.epoch, "step": self.step}
+        if cv_batches is not None:
+            info["cv_loss"] = self.cross_validate(state, cv_batches)
+        save_checkpoint(self.model_dir, f"epoch_{self.epoch}_whole", state.params, info)
+        self.epoch += 1
+        return state
