@@ -153,6 +153,7 @@ def load(
     final: Optional[bool] = None,
     config: Optional[TTSConfig] = None,
     seed: int = 0,
+    compute_dtype="bfloat16",
 ) -> Cosy2EU:
     """Load the model once and reuse for multiple in-memory calls.
 
@@ -198,6 +199,10 @@ def load(
         }
         tokenizer = get_tokenizer("")
 
-    model = TTSModel(cfg, params, seed=seed)
+    if isinstance(compute_dtype, str):
+        import jax.numpy as jnp
+
+        compute_dtype = None if compute_dtype in ("float32", "none") else getattr(jnp, compute_dtype)
+    model = TTSModel(cfg, params, seed=seed, compute_dtype=compute_dtype)
     frontend = Frontend(cfg, tokenizer=tokenizer)
     return Cosy2EU(model, frontend, cfg)

@@ -133,14 +133,16 @@ def flow_inference(
     """
     b, t_tok = token.shape
     ratio = cfg.token_mel_ratio
+    # compute dtype follows the parameters (bf16 in production inference)
+    dtype = params["input_embedding"]["weight"].dtype
 
     spk = embedding_vec / jnp.maximum(
         jnp.linalg.norm(embedding_vec, axis=1, keepdims=True), 1e-12
     )
-    spk = dense(params["spk_embed_affine_layer"], spk)
+    spk = dense(params["spk_embed_affine_layer"], spk.astype(dtype))
 
-    tok_mask = make_non_pad_mask(token_len, t_tok)[..., None].astype(jnp.float32)
-    h_tok = embedding(params["input_embedding"], jnp.maximum(token, 0)) * tok_mask
+    tok_mask = make_non_pad_mask(token_len, t_tok)[..., None].astype(dtype)
+    h_tok = embedding(params["input_embedding"], jnp.maximum(token, 0)).astype(dtype) * tok_mask
 
     if finalize:
         h, _ = upsample_conformer_forward(
@@ -166,7 +168,7 @@ def flow_inference(
         prompt_feat, ((0, 0), (0, t_mel - prompt_feat.shape[1]), (0, 0))
     )
     conds = jnp.where(frame_idx < prompt_feat_len[:, None, None], pf, 0.0)
-    conds = conds.transpose(0, 2, 1)  # (B, 80, T_mel)
+    conds = conds.transpose(0, 2, 1).astype(h.dtype)  # (B, 80, T_mel)
 
     mask = make_non_pad_mask(mel_len, t_mel)[:, None].astype(h.dtype)  # (B,1,T)
     mu = h.transpose(0, 2, 1) * mask

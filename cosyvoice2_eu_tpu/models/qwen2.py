@@ -79,6 +79,7 @@ def rope_cos_sin(positions: jnp.ndarray, cfg: Qwen2Config, dtype=jnp.float32):
 
 def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
     """x: (B, H, T, D); cos/sin: (B, T, D) or (T, D)."""
+    cos, sin = cos.astype(x.dtype), sin.astype(x.dtype)
     if cos.ndim == 2:
         cos, sin = cos[None, None], sin[None, None]
     else:

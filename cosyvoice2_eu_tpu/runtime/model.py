@@ -54,8 +54,27 @@ class PromptInputs:
 
 
 class TTSModel:
-    def __init__(self, cfg: TTSConfig, params: dict, seed: int = 0):
+    def __init__(self, cfg: TTSConfig, params: dict, seed: int = 0,
+                 compute_dtype=jnp.bfloat16):
         self.cfg = cfg
+        # bf16 inference for the LM and flow (weights stream from HBM at half
+        # the bytes; MXU-native dtype); HiFT stays fp32 — its phase/cumsum and
+        # iSTFT numerics do not tolerate bf16.
+        if compute_dtype is not None:
+            cast = lambda t: jax.tree.map(
+                lambda a: a.astype(compute_dtype)
+                if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+                else a,
+                t,
+            )
+            flow_cast = cast(params["flow"])
+            # keep the deterministic inference noise in fp32 (fidelity)
+            flow_cast["rand_noise"] = params["flow"]["rand_noise"]
+            params = {
+                "llm": cast(params["llm"]),
+                "flow": flow_cast,
+                "hift": params["hift"],
+            }
         self.params = params
         self.seed = seed
         self._rng = jax.random.key(seed)

@@ -90,9 +90,11 @@ def embedding(p: dict, ids: jnp.ndarray) -> jnp.ndarray:
 
 
 def layer_norm(p: dict, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    # stats in fp32: bf16 mean/variance is too coarse for LN stability
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
     return y * p["weight"].astype(x.dtype) + p["bias"].astype(x.dtype)
 
 

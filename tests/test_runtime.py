@@ -21,7 +21,8 @@ def model():
         "flow": init_flow(k2, CFG.flow),
         "hift": init_hift(k3, CFG.hift),
     }
-    return TTSModel(CFG, params, seed=7)
+    # fp32 on CPU: bf16 is emulated and slow on the test backend
+    return TTSModel(CFG, params, seed=7, compute_dtype=None)
 
 
 def _prompt():
