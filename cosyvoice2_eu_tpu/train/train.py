@@ -1,0 +1,206 @@
+"""Training entry point.
+
+Mirrors the reference trainer CLI surface
+(reference: cosy_repo/cosyvoice/bin/train.py:80-168: --model {llm,flow,hifigan},
+--train_data/--cv_data parquet lists, --model_dir, --resume, tensorboard dir)
+on the TPU-native stack: pjit dp x fsdp mesh, optax optimizer, orbax
+checkpoints with CV-loss sidecars, resume by newest checkpoint.
+
+Usage:
+  python -m cosyvoice2_eu_tpu.train.train --model llm \
+      --train_data data/train.list --cv_data data/cv.list \
+      --model_dir exp/llm --qwen_pretrain_path <tokenizer dir>
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import logging
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cosyvoice2_eu_tpu.config import TrainConfig, TTSConfig
+from cosyvoice2_eu_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+from cosyvoice2_eu_tpu.parallel.train_step import (
+    TrainState,
+    init_train_state,
+    make_flow_train_step,
+    make_lm_train_step,
+    lm_loss_fn,
+    flow_loss_fn,
+)
+from cosyvoice2_eu_tpu.train import dataset as ds
+from cosyvoice2_eu_tpu.train.executor import Executor, latest_checkpoint
+from cosyvoice2_eu_tpu.train.optim import make_optimizer
+from cosyvoice2_eu_tpu.train.sequences import build_lm_batch
+from cosyvoice2_eu_tpu.runtime.checkpoint import load_pytree
+
+
+def read_list(path: str) -> list[str]:
+    with open(path) as f:
+        return [line.strip() for line in f if line.strip()]
+
+
+def make_logger(tb_dir: str):
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        writer = SummaryWriter(tb_dir)
+
+        def log(metrics: dict):
+            step = metrics.get("step", 0)
+            for k, v in metrics.items():
+                if isinstance(v, (int, float)) and k != "step":
+                    writer.add_scalar(f"train/{k}", v, step)
+
+        return log
+    except Exception:  # pragma: no cover
+        return lambda m: None
+
+
+def lm_batches(paths, tokenizer, mel_fn, cfg: TTSConfig, rank, world, epoch, rng,
+               max_frames: int, pad_multiple: int = 64):
+    """Wrap the generic pipeline into packed LM batches."""
+    for batch in ds.build_pipeline(paths, tokenizer, mel_fn, rank, world, epoch,
+                                   max_frames_in_batch=max_frames):
+        if "speech_token" not in batch:
+            continue
+        texts = [row[:n] for row, n in zip(batch["text_token"], batch["text_token_len"])]
+        speeches = [row[:n] for row, n in zip(batch["speech_token"], batch["speech_token_len"])]
+        longest = max(
+            len(t) + len(s) + 2 + (len(s) // 15 + 2) for t, s in zip(texts, speeches)
+        )
+        pad_to = -(-longest // pad_multiple) * pad_multiple
+        yield build_lm_batch(texts, speeches, cfg.llm, rng, pad_to=pad_to)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", required=True, choices=["llm", "flow", "hifigan"])
+    parser.add_argument("--train_data", required=True, help="file listing parquet shards")
+    parser.add_argument("--cv_data", required=True)
+    parser.add_argument("--model_dir", required=True)
+    parser.add_argument("--tensorboard_dir", default=None)
+    parser.add_argument("--qwen_pretrain_path", default="")
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--max_epoch", type=int, default=None)
+    parser.add_argument("--lr", type=float, default=None)
+    parser.add_argument("--max_frames_in_batch", type=int, default=3000)
+    parser.add_argument("--fsdp", type=int, default=1)
+    parser.add_argument("--seed", type=int, default=1986)
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    cfg = TTSConfig()
+    train_cfg = TrainConfig()
+    if args.lr:
+        train_cfg = TrainConfig(lr=args.lr)
+    max_epoch = args.max_epoch or train_cfg.max_epoch
+
+    from cosyvoice2_eu_tpu.frontend.tokenizer import get_tokenizer
+    from cosyvoice2_eu_tpu.ops.mel import mel_spectrogram
+
+    tokenizer = get_tokenizer(args.qwen_pretrain_path)
+
+    def mel_fn(wav: np.ndarray) -> np.ndarray:
+        m = cfg.mel
+        out = mel_spectrogram(
+            jnp.asarray(wav[None]), m.n_fft, m.num_mels, m.sampling_rate,
+            m.hop_size, m.win_size, m.fmin, m.fmax, m.center,
+        )
+        return np.asarray(out)[0].T
+
+    mesh = make_mesh(dp=-1, fsdp=args.fsdp)
+    tx = make_optimizer(train_cfg)
+    rng = np.random.default_rng(args.seed)
+
+    if args.model == "llm":
+        from cosyvoice2_eu_tpu.models.llm import init_lm
+
+        params = init_lm(jax.random.key(args.seed), cfg.llm)
+        step_fn = make_lm_train_step(cfg.llm, train_cfg, tx)
+        cv_fn = jax.jit(lambda p, b: lm_loss_fn(p, cfg.llm, b, train_cfg)[1])
+
+        def train_iter(epoch):
+            for b in lm_batches(
+                read_list(args.train_data), tokenizer, mel_fn, cfg, 0, 1, epoch, rng,
+                args.max_frames_in_batch,
+            ):
+                yield shard_batch({k: jnp.asarray(v) for k, v in b.items()}, mesh)
+
+        def cv_iter():
+            for b in lm_batches(
+                read_list(args.cv_data), tokenizer, mel_fn, cfg, 0, 1, 0, rng,
+                args.max_frames_in_batch,
+            ):
+                yield shard_batch({k: jnp.asarray(v) for k, v in b.items()}, mesh)
+
+    elif args.model == "flow":
+        from cosyvoice2_eu_tpu.models.flow import init_flow
+
+        params = init_flow(jax.random.key(args.seed), cfg.flow)
+        raw_step = make_flow_train_step(cfg.flow, train_cfg, tx)
+        step_rng = jax.random.key(args.seed)
+
+        def step_fn(state, batch):
+            nonlocal step_rng
+            step_rng, sub = jax.random.split(step_rng)
+            streaming = bool(rng.random() < 0.5)  # unified training (flow.py:201)
+            return raw_step(state, batch, sub, streaming=streaming)
+
+        cv_fn = jax.jit(
+            lambda p, b: flow_loss_fn(p, cfg.flow, b, jax.random.key(0), False)[1]
+        )
+
+        def flow_batches(paths, epoch):
+            for b in ds.build_pipeline(paths, tokenizer, mel_fn, 0, 1, epoch,
+                                       max_frames_in_batch=args.max_frames_in_batch):
+                if "speech_token" not in b or "embedding" not in b:
+                    continue
+                yield shard_batch(
+                    {
+                        k: jnp.asarray(v)
+                        for k, v in b.items()
+                        if k in ("speech_token", "speech_token_len", "speech_feat",
+                                 "speech_feat_len", "embedding")
+                    },
+                    mesh,
+                )
+
+        train_iter = lambda epoch: flow_batches(read_list(args.train_data), epoch)
+        cv_iter = lambda: flow_batches(read_list(args.cv_data), 0)
+
+    else:  # hifigan
+        raise SystemExit("GAN training loop: use cosyvoice2_eu_tpu/train/train_gan.py")
+
+    with mesh:
+        params = shard_params(params, mesh)
+        state = init_train_state(params, tx)
+
+        if args.resume:
+            info = latest_checkpoint(args.model_dir)
+            if info:
+                logging.info("resuming from %s", info["tag"])
+                restored = load_pytree(
+                    os.path.join(args.model_dir, info["tag"]), jax.device_get(state.params)
+                )
+                state = TrainState(
+                    shard_params(restored, mesh), state.opt_state,
+                    jnp.asarray(info.get("step", 0), jnp.int32),
+                )
+
+        executor = Executor(
+            train_cfg, step_fn, cv_fn, args.model_dir,
+            log_fn=make_logger(args.tensorboard_dir or os.path.join(args.model_dir, "tb")),
+        )
+        for epoch in range(max_epoch):
+            executor.epoch = epoch
+            state = executor.train_epoch(state, train_iter(epoch), cv_iter())
+
+
+if __name__ == "__main__":
+    main()
