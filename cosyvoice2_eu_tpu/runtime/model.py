@@ -32,6 +32,9 @@ from cosyvoice2_eu_tpu.models.flow import flow_inference
 from cosyvoice2_eu_tpu.models.hift import hift_inference
 
 TOKEN_BUCKETS = (64, 128, 256, 512, 1024)
+# finer buckets for the flow: the estimator's attention cost is quadratic in
+# the mel bucket, so padding to the next power of two wastes up to 4x compute
+FLOW_TOKEN_BUCKETS = (64, 128, 192, 256, 384, 512, 640, 768, 896, 1024)
 
 
 def bucket_for(n: int, buckets=TOKEN_BUCKETS) -> int:
@@ -184,7 +187,7 @@ class TTSModel:
         prompt_tok = p.flow_prompt_speech_tokens.astype(np.int32)
         tokens = np.concatenate([prompt_tok, all_tokens.astype(np.int32)])
         total = len(tokens)
-        tok_bucket = bucket_for(total)
+        tok_bucket = bucket_for(total, buckets=FLOW_TOKEN_BUCKETS)
         tok_arr = np.zeros((1, tok_bucket), np.int32)
         tok_arr[0, :total] = tokens
 

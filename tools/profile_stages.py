@@ -20,13 +20,20 @@ from cosyvoice2_eu_tpu.models.flow import flow_inference
 from cosyvoice2_eu_tpu.models.hift import hift_inference
 
 
+def _force(out):
+    """axon executes lazily; a host fetch forces completion."""
+    import numpy as _np
+
+    leaf = jax.tree.leaves(out)[0]
+    _np.asarray(jax.device_get(leaf)).ravel()[:1]
+    return out
+
+
 def t(fn, *args, n=3, **kw):
-    out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    out = _force(fn(*args, **kw))
     t0 = time.time()
     for _ in range(n):
-        out = fn(*args, **kw)
-        jax.block_until_ready(out)
+        out = _force(fn(*args, **kw))
     return (time.time() - t0) / n, out
 
 
@@ -41,15 +48,15 @@ def main():
     src = jnp.asarray(rng.integers(0, 3, (1, P)), jnp.int32)
     plen = jnp.asarray([197])
 
-    prefill = jax.jit(lambda i, s, pl, r: llm_mod.lm_prefill(params["llm"], cfg.llm, i, s, pl, r, GEN))
-    dt, state = t(prefill, ids, src, plen, jax.random.key(0))
+    prefill = jax.jit(lambda pp, i, s, pl, r: llm_mod.lm_prefill(pp, cfg.llm, i, s, pl, r, GEN))
+    dt, state = t(prefill, params["llm"], ids, src, plen, jax.random.key(0))
     print(f"lm_prefill({P}): {dt*1e3:.1f} ms")
 
-    chunk = jax.jit(lambda st, pl, mn, mx, tgt: llm_mod.lm_decode_chunk(
-        params["llm"], cfg.llm, st, pl, mn, mx, P, tgt))
-    dt, state2 = t(chunk, state, plen, jnp.asarray([600]), jnp.asarray([600]), jnp.asarray(100), n=1)
+    chunk = jax.jit(lambda pp, st, pl, mn, mx, tgt: llm_mod.lm_decode_chunk(
+        pp, cfg.llm, st, pl, mn, mx, P, tgt))
+    dt, state2 = t(chunk, params["llm"], state, plen, jnp.asarray([600]), jnp.asarray([600]), jnp.asarray(100), n=1)
     print(f"lm_decode 100 steps: {dt*1e3:.1f} ms -> {dt*10:.2f} ms/token")
-    dt, state3 = t(chunk, state2, plen, jnp.asarray([600]), jnp.asarray([600]), jnp.asarray(200), n=1)
+    dt, state3 = t(chunk, params["llm"], state2, plen, jnp.asarray([600]), jnp.asarray([600]), jnp.asarray(200), n=1)
     print(f"lm_decode next 100 steps: {dt*1e3:.1f} ms")
 
     # flow at production-ish bucket
@@ -57,26 +64,26 @@ def main():
     tok = jnp.asarray(rng.integers(0, 6561, (1, TOK)), jnp.int32)
     feat = jnp.asarray(rng.standard_normal((1, TOK * 2, 80)), jnp.float32)
     emb = jnp.asarray(rng.standard_normal((1, 192)), jnp.float32)
-    flow_fn = jax.jit(lambda *a: flow_inference(params["flow"], cfg.flow, *a))
-    dt, mel = t(flow_fn, tok, jnp.asarray([750]), feat, jnp.asarray([300]), emb, n=2)
+    flow_fn = jax.jit(lambda pp, *a: flow_inference(pp, cfg.flow, *a))
+    dt, mel = t(flow_fn, params["flow"], tok, jnp.asarray([750]), feat, jnp.asarray([300]), emb, n=2)
     print(f"flow_inference(tok_bucket={TOK}, mel={TOK*2}): {dt*1e3:.1f} ms")
 
     TOKS = 128
     tok_s = tok[:, :TOKS]
-    flow_s = jax.jit(lambda *a: flow_inference(params["flow"], cfg.flow, *a))
-    dt, _ = t(flow_s, tok_s, jnp.asarray([120]), feat[:, : TOKS * 2], jnp.asarray([100]), emb, n=2)
+    flow_s = jax.jit(lambda pp, *a: flow_inference(pp, cfg.flow, *a))
+    dt, _ = t(flow_s, params["flow"], tok_s, jnp.asarray([120]), feat[:, : TOKS * 2], jnp.asarray([100]), emb, n=2)
     print(f"flow_inference(tok_bucket={TOKS}): {dt*1e3:.1f} ms")
 
     MEL = 2048
     mel_in = jnp.asarray(rng.standard_normal((1, 80, MEL)), jnp.float32)
-    hift_fn = jax.jit(lambda m, r: hift_inference(params["hift"], cfg.hift, m, r))
-    dt, _ = t(hift_fn, mel_in, jax.random.key(1), n=2)
+    hift_fn = jax.jit(lambda pp, m, r: hift_inference(pp, cfg.hift, m, r))
+    dt, _ = t(hift_fn, params["hift"], mel_in, jax.random.key(1), n=2)
     print(f"hift({MEL} mel -> {MEL*480/1e3:.0f}k samples): {dt*1e3:.1f} ms")
 
     MEL = 256
     mel_in = jnp.asarray(rng.standard_normal((1, 80, MEL)), jnp.float32)
-    hift_fn2 = jax.jit(lambda m, r: hift_inference(params["hift"], cfg.hift, m, r))
-    dt, _ = t(hift_fn2, mel_in, jax.random.key(1), n=2)
+    hift_fn2 = jax.jit(lambda pp, m, r: hift_inference(pp, cfg.hift, m, r))
+    dt, _ = t(hift_fn2, params["hift"], mel_in, jax.random.key(1), n=2)
     print(f"hift({MEL} mel): {dt*1e3:.1f} ms")
 
 
