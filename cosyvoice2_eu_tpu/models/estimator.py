@@ -95,19 +95,29 @@ def init_transformer_block(rng, dim, heads, head_dim):
     }
 
 
-def transformer_block(p, x, attn_bias, heads):
-    """x: (B, T, C); attn_bias: (B, T, T) additive."""
+def transformer_block(p, x, mask_info, heads):
+    """x: (B, T, C); mask_info: (lengths (B,), chunk_size, backend)."""
     b, t, c = x.shape
+    lengths, chunk, backend = mask_info
     h = layer_norm(p["norm1"], x)
     inner = p["to_q"]["weight"].shape[0]
     d_k = inner // heads
     q = dense(p["to_q"], h).reshape(b, t, heads, d_k).transpose(0, 2, 1, 3)
     k = dense(p["to_k"], h).reshape(b, t, heads, d_k).transpose(0, 2, 1, 3)
     v = dense(p["to_v"], h).reshape(b, t, heads, d_k).transpose(0, 2, 1, 3)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(d_k)
-    scores = scores.astype(jnp.float32) + attn_bias[:, None]
-    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-    att = jnp.einsum("bhqk,bhkd->bhqd", probs, v).transpose(0, 2, 1, 3).reshape(b, t, inner)
+    if backend == "pallas" and t % 128 == 0:
+        from cosyvoice2_eu_tpu.ops.pallas.flash_attention import flash_attention
+
+        att = flash_attention(q, k, v, lengths, chunk_size=chunk, block_q=min(256, t),
+                              block_k=min(256, t))
+    else:
+        attn_mask = chunk_attention_mask(lengths, t, chunk)
+        attn_bias = jnp.where(attn_mask, 0.0, NEG_INF)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(d_k)
+        scores = scores.astype(jnp.float32) + attn_bias[:, None]
+        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        att = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    att = att.transpose(0, 2, 1, 3).reshape(b, t, inner)
     x = x + dense(p["to_out"], att)
     h = layer_norm(p["norm3"], x)
     h = dense(p["ff_out"], jax.nn.gelu(dense(p["ff_in"], h), approximate=False))
@@ -171,16 +181,17 @@ def estimator_forward(
         [x, mu, jnp.broadcast_to(spks[:, :, None], (b, spks.shape[1], T)), cond], axis=1
     )
 
+    from cosyvoice2_eu_tpu.ops.pallas.flash_attention import attention_backend
+
     lengths = jnp.sum(mask[:, 0].astype(jnp.int32), axis=-1)
     chunk = cfg.static_chunk_size if streaming else 0
-    attn_mask = chunk_attention_mask(lengths, T, chunk, cfg.num_decoding_left_chunks)
-    attn_bias = jnp.where(attn_mask, 0.0, NEG_INF)
+    mask_info = (lengths, chunk, attention_backend())
 
     def run_blocks(sp, h):
         h = causal_resnet(sp["resnet"], h, mask, temb)
         ht = h.transpose(0, 2, 1)
         for tp in sp["transformer"]:
-            ht = transformer_block(tp, ht, attn_bias, cfg.num_heads)
+            ht = transformer_block(tp, ht, mask_info, cfg.num_heads)
         return ht.transpose(0, 2, 1)
 
     # down stage: skip is captured BEFORE the downsample conv (decoder.py:451)

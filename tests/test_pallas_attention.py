@@ -1,0 +1,54 @@
+"""Pallas flash attention (interpret mode) vs masked-softmax reference."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cosyvoice2_eu_tpu.ops.masks import chunk_attention_mask
+from cosyvoice2_eu_tpu.ops.pallas.flash_attention import flash_attention
+
+
+def _reference(q, k, v, lengths, chunk):
+    b, h, t, d = q.shape
+    mask = chunk_attention_mask(lengths, t, chunk)
+    bias = jnp.where(mask, 0.0, -1e30)[:, None]
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(d) + bias
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+@pytest.mark.parametrize("chunk,lengths", [(0, [256, 160]), (64, [256, 100])])
+def test_flash_matches_reference(chunk, lengths):
+    rng = np.random.default_rng(0)
+    B, H, T, D = 2, 3, 256, 64
+    q = jnp.asarray(rng.standard_normal((B, H, T, D)).astype(np.float32) * 0.5)
+    k = jnp.asarray(rng.standard_normal((B, H, T, D)).astype(np.float32) * 0.5)
+    v = jnp.asarray(rng.standard_normal((B, H, T, D)).astype(np.float32) * 0.5)
+    L = jnp.asarray(lengths)
+
+    got = flash_attention(q, k, v, L, chunk_size=chunk, block_q=128, block_k=128,
+                          interpret=True)
+    want = _reference(q, k, v, L, chunk)
+    # compare only valid query rows (pad-row outputs are discarded downstream)
+    for b in range(B):
+        n = lengths[b]
+        np.testing.assert_allclose(
+            np.asarray(got)[b, :, :n], np.asarray(want)[b, :, :n], atol=2e-5, rtol=1e-4
+        )
+
+
+def test_flash_small_chunks_block_skip():
+    """chunk smaller than block: visibility boundary inside a block."""
+    rng = np.random.default_rng(1)
+    B, H, T, D = 1, 2, 256, 64
+    q = jnp.asarray(rng.standard_normal((B, H, T, D)).astype(np.float32) * 0.3)
+    k = jnp.asarray(rng.standard_normal((B, H, T, D)).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.standard_normal((B, H, T, D)).astype(np.float32) * 0.3)
+    L = jnp.asarray([256])
+    got = flash_attention(q, k, v, L, chunk_size=50, block_q=128, block_k=128,
+                          interpret=True)
+    want = _reference(q, k, v, L, 50)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
