@@ -50,9 +50,11 @@ def main():
     prompt = make_prompt(cfg, rng)
     sr = cfg.sample_rate
 
-    # ---- warmup (compile) ----
+    # ---- warmup (compile both paths) ----
     t0 = time.time()
     audio = np.concatenate(list(model.tts(prompt, stream=False)))
+    for _ in model.tts(prompt, stream=True):
+        pass
     compile_s = time.time() - t0
 
     # ---- non-streaming RTF ----

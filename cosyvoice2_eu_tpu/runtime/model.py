@@ -323,6 +323,29 @@ class TTSModel:
         final_tokens = np.asarray(state.tokens)[0, : int(state.lengths[0])]
         yield self._token2wav(final_tokens, prompt, token_offset, session, False, True, speed)
 
+    def vc(
+        self,
+        source_speech_tokens: np.ndarray,
+        prompt: PromptInputs,
+        stream: bool = False,
+        speed: float = 1.0,
+    ) -> Generator[np.ndarray, None, None]:
+        """Voice conversion: re-synthesize source speech tokens with the
+        prompt speaker's timbre — the LM is skipped entirely (reference
+        vc_job, cli/model.py:349; inference_vc, cli/cosyvoice.py:132)."""
+        session: dict = {"hift_cache": None}
+        tokens = np.asarray(source_speech_tokens, np.int32)
+        if not stream:
+            yield self._token2wav(tokens, prompt, 0, session, False, True, speed)
+            return
+        hop, la = self.token_hop_len, self.pre_lookahead_len
+        offset = 0
+        while len(tokens) - offset >= hop + la:
+            chunk = tokens[: offset + hop + la]
+            yield self._token2wav(chunk, prompt, offset, session, True, False)
+            offset += hop
+        yield self._token2wav(tokens, prompt, offset, session, False, True, speed)
+
 
 def _fade_in_out(fade_in: np.ndarray, fade_out: np.ndarray, window: np.ndarray) -> np.ndarray:
     """Hamming crossfade of chunk boundaries (reference utils/common.py:142)."""
