@@ -218,3 +218,234 @@ def lm_training_hidden(params, cfg: LMConfig, ids, src, valid):
     embeds = embed_mixed(params, ids, src)
     hidden = qwen2_forward(params["backbone"], cfg.backbone, embeds, valid)
     return dense(params["llm_decoder"], hidden)
+
+
+# ---------------------------------------------------------------------------
+# bistream decode (streaming text input, reference llm.py:721-834)
+# ---------------------------------------------------------------------------
+
+class BistreamState(NamedTuple):
+    """Cursor-based single-session cache: slots [0, cache_len) are valid and
+    contiguous (prompt segments and generated tokens interleave freely)."""
+
+    kv: KVCache
+    cache_len: jnp.ndarray  # scalar int32
+    last_hidden: jnp.ndarray  # (1, H)
+    recent: jnp.ndarray  # (win_size,)
+    n_out: jnp.ndarray  # scalar int32: emitted speech tokens
+    rng: jax.Array
+
+
+def bs_init(params, cfg: LMConfig, max_cache: int) -> BistreamState:
+    h = cfg.backbone.hidden_size
+    return BistreamState(
+        kv=KVCache.zeros(cfg.backbone, 1, max_cache),
+        cache_len=jnp.zeros((), jnp.int32),
+        last_hidden=jnp.zeros((1, h)),
+        recent=jnp.full((cfg.win_size,), -1, jnp.int32),
+        n_out=jnp.zeros((), jnp.int32),
+        rng=jax.random.key(0),
+    )
+
+
+def bs_extend(params, cfg: LMConfig, state: BistreamState, ids, src, seg_len):
+    """Append a right-padded (1, S) segment at the cache cursor.
+
+    Pad slots are written past the new cursor and stay invisible until
+    overwritten.  Returns state with last_hidden = hidden of the segment's
+    last valid position.
+    """
+    from cosyvoice2_eu_tpu.models.qwen2 import (
+        NEG_INF as _NEG,
+        _layer_forward,
+        rope_cos_sin,
+    )
+    from cosyvoice2_eu_tpu.utils.params import rms_norm as _rms
+
+    bb = cfg.backbone
+    s = ids.shape[1]
+    max_cache = state.kv.k.shape[3]
+    embeds = embed_mixed(params, ids, src)
+
+    pos = state.cache_len + jnp.arange(s, dtype=jnp.int32)
+    slot = jnp.arange(max_cache, dtype=jnp.int32)
+    # query i sees cache slots < cache_len + i + 1
+    mask = slot[None, None, :] < (state.cache_len + jnp.arange(s)[:, None] + 1)[None]
+    bias = jnp.where(mask, 0.0, _NEG)[:, None]
+    cos, sin = rope_cos_sin(pos[None], bb)
+
+    x = embeds
+    kv = state.kv
+    for i, lp in enumerate(params["backbone"]["layers"]):
+        x, kv = _layer_forward(
+            lp, bb, x, cos[0], sin[0], bias, kv=kv, layer_idx=i, write_at=state.cache_len
+        )
+    x = _rms(params["backbone"]["norm"], x, bb.rms_norm_eps)
+    last = jnp.take_along_axis(x, (seg_len - 1)[None, None, None], axis=1)[:, 0]
+    return state._replace(kv=kv, cache_len=state.cache_len + seg_len, last_hidden=last)
+
+
+def bs_decode(
+    params,
+    cfg: LMConfig,
+    state: BistreamState,
+    out_capacity: int,
+    next_fill_index: jnp.ndarray,
+    allow_eos: jnp.ndarray,
+    max_emit: jnp.ndarray,
+):
+    """Decode until a fill token, EOS (when allowed), or max_emit new speech
+    tokens.  Forced fills fire when n_out == next_fill_index
+    (reference llm.py:799-806).
+
+    Returns (state, out_tokens (out_capacity,), n_new, stop_code) with
+    stop_code 0 = hit max_emit, 1 = fill token, 2 = eos.
+    """
+    from cosyvoice2_eu_tpu.models.qwen2 import qwen2_decode_step
+
+    bb = cfg.backbone
+    max_cache = state.kv.k.shape[3]
+    slot = jnp.arange(max_cache, dtype=jnp.int32)[None, :]
+    fill_id = cfg.speech_token_size + 2
+
+    def make_carry(st, out, n_new, nfi, stop):
+        return (st, out, n_new, nfi, stop)
+
+    def cond(carry):
+        st, out, n_new, nfi, stop = carry
+        return (stop == 0) & (n_new < max_emit) & (st.cache_len < max_cache - 1)
+
+    def body(carry):
+        st, out, n_new, nfi, stop = carry
+        logits = dense(params["llm_decoder"], st.last_hidden).astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1)[0]
+        rng, sub = jax.random.split(st.rng)
+        # ban only the exact EOS id when not allowed (fill stays samplable)
+        banned_eos = jnp.where(
+            allow_eos, jnp.zeros_like(logp), jnp.zeros_like(logp).at[cfg.eos_token].set(-jnp.inf)
+        )
+        sampled = ras_sample(
+            sub, logp + banned_eos, st.recent, jnp.asarray(False), cfg.full_vocab,
+            top_p=cfg.top_p, top_k=cfg.top_k, win_size=cfg.win_size, tau_r=cfg.tau_r,
+        )
+        forced = (nfi >= 0) & (st.n_out == nfi)
+        tok = jnp.where(forced, fill_id, sampled)
+        nfi = jnp.where(forced, nfi + cfg.mix_ratio[1] + 1, nfi)
+        nfi = jnp.where((~forced) & (tok == fill_id), st.n_out + cfg.mix_ratio[1] + 1, nfi)
+
+        is_fill = tok == fill_id
+        is_eos = tok == cfg.eos_token
+        emit = (~is_fill) & (~is_eos)
+        out = jnp.where(emit, out.at[n_new].set(tok), out)
+        recent = jnp.where(
+            emit, jnp.roll(st.recent, -1).at[-1].set(tok), st.recent
+        )
+
+        embed = embedding(params["speech_embedding"], jnp.clip(tok, 0, cfg.full_vocab - 1))[None]
+        visible = slot <= st.cache_len
+        hidden, kv = qwen2_decode_step(
+            params["backbone"], bb, embed, st.cache_len[None], st.cache_len, visible, st.kv
+        )
+        new_st = BistreamState(
+            kv, st.cache_len + 1, hidden, recent,
+            st.n_out + emit.astype(jnp.int32), rng,
+        )
+        stop = jnp.where(is_fill, 1, jnp.where(is_eos, 2, 0)).astype(jnp.int32)
+        return make_carry(new_st, out, n_new + emit.astype(jnp.int32), nfi, stop)
+
+    out0 = jnp.zeros((out_capacity,), jnp.int32)
+    carry = make_carry(state, out0, jnp.zeros((), jnp.int32), next_fill_index,
+                       jnp.zeros((), jnp.int32))
+    st, out, n_new, nfi, stop = jax.lax.while_loop(cond, body, carry)
+    return st, out, n_new, nfi, stop
+
+
+def lm_inference_bistream(
+    params,
+    cfg: LMConfig,
+    text_chunks,
+    prompt_text: "np.ndarray",
+    prompt_speech: "np.ndarray",
+    rng: jax.Array,
+    max_cache: int = 2048,
+    seg_bucket: int = 32,
+    chunk_capacity: int = 64,
+):
+    """Streaming-text decode generator yielding speech tokens.
+
+    Mirrors inference_bistream (reference llm.py:721-834): text arrives in
+    mix_ratio[0]-token chunks; prompt text+speech are interleaved 5:15; the
+    model requests more text via the FILL token; the final segment appends
+    [remaining text, task_id] and decodes to EOS.
+    """
+    import numpy as np
+
+    mt, ms = cfg.mix_ratio
+
+    extend = jax.jit(
+        lambda st, ids, src, n: bs_extend(params, cfg, st, ids, src, n)
+    )
+    decode = jax.jit(
+        lambda st, nfi, allow, cap: bs_decode(
+            params, cfg, st, chunk_capacity, nfi, allow, cap
+        )
+    )
+
+    def seg(tokens_src):  # list of (id, src) -> padded arrays
+        n = len(tokens_src)
+        ids = np.zeros((1, seg_bucket), np.int32)
+        src = np.zeros((1, seg_bucket), np.int32)
+        for i, (tid, ts) in enumerate(tokens_src):
+            ids[0, i], src[0, i] = tid, ts
+        return jnp.asarray(ids), jnp.asarray(src), jnp.asarray(n, jnp.int32)
+
+    state = bs_init(params, cfg, max_cache)._replace(rng=rng)
+    state = extend(state, *seg([(cfg.sos_eos, SRC_SPECIAL)]))
+
+    text_cache = [int(t) for t in prompt_text]
+    speech_left = [int(t) for t in prompt_speech]
+    next_fill = jnp.asarray(-1, jnp.int32)
+    need_text = True  # nothing appended beyond sos yet (llm.py:781)
+
+    for this_text in text_chunks:
+        text_cache.extend(int(t) for t in this_text)
+        # interleave prompt speech with text 5:15
+        while speech_left and len(text_cache) >= mt:
+            pairs = [(t, SRC_TEXT) for t in text_cache[:mt]] + [
+                (s, SRC_SPEECH) for s in speech_left[:ms]
+            ]
+            state = extend(state, *seg(pairs))
+            text_cache, speech_left = text_cache[mt:], speech_left[ms:]
+        if speech_left:
+            continue  # wait for more text to finish the interleave
+        if need_text:
+            if len(text_cache) < mt:
+                continue  # wait for more text
+            state = extend(state, *seg([(t, SRC_TEXT) for t in text_cache[:mt]]))
+            text_cache = text_cache[mt:]
+            need_text = False
+        # decode until the model requests more text with a FILL token
+        while True:
+            state, out, n_new, next_fill, stop = decode(
+                state, next_fill, jnp.asarray(False), jnp.asarray(chunk_capacity)
+            )
+            for t in np.asarray(out)[: int(n_new)]:
+                yield int(t)
+            if int(stop) == 1:  # fill
+                need_text = True
+                break
+            if int(n_new) == 0:
+                break
+
+    # final: remaining text + task id, decode to EOS
+    pairs = [(t, SRC_TEXT) for t in text_cache] + [(cfg.task_id, SRC_SPECIAL)]
+    for start in range(0, len(pairs), seg_bucket):
+        state = extend(state, *seg(pairs[start : start + seg_bucket]))
+    while True:
+        state, out, n_new, next_fill, stop = decode(
+            state, jnp.asarray(-1, jnp.int32), jnp.asarray(True), jnp.asarray(chunk_capacity)
+        )
+        for t in np.asarray(out)[: int(n_new)]:
+            yield int(t)
+        if int(stop) == 2 or int(n_new) == 0:
+            break
