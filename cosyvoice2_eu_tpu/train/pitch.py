@@ -21,7 +21,16 @@ def estimate_f0(
     frame_len: int = 1920,
     threshold: float = 0.15,
 ) -> np.ndarray:
-    """wav (T,) -> f0 (T // hop,) in Hz; 0 where unvoiced."""
+    """wav (T,) -> f0 (T // hop,) in Hz; 0 where unvoiced.
+
+    Dispatches to the native C++ YIN (native/cosy_dsp.cpp) when built; the
+    numpy implementation below is the reference/fallback path.
+    """
+    from cosyvoice2_eu_tpu.utils.native import yin_f0_native
+
+    native = yin_f0_native(wav, sample_rate, hop, fmin, fmax, frame_len, threshold)
+    if native is not None:
+        return native
     tau_min = int(sample_rate / fmax)
     tau_max = int(sample_rate / fmin)
     n_frames = max(len(wav) // hop, 0)
