@@ -323,6 +323,77 @@ class TTSModel:
         final_tokens = np.asarray(state.tokens)[0, : int(state.lengths[0])]
         yield self._token2wav(final_tokens, prompt, token_offset, session, False, True, speed)
 
+    def tts_batch(
+        self,
+        prompts: list,
+        speed: float = 1.0,
+    ) -> list:
+        """Batched non-streaming synthesis (BASELINE config 2: N utterances
+        with varied prompt speakers in one program).  All models are
+        batch-generic; prompts pack into shared buckets and decode together.
+        """
+        cfg = self.cfg
+        n = len(prompts)
+        packs = [self._pack_lm_prompt(p) for p in prompts]
+        p_bucket = max(pk[3] for pk in packs)
+        ids = np.zeros((n, p_bucket), np.int32)
+        src = np.zeros((n, p_bucket), np.int32)
+        prompt_len = np.zeros((n,), np.int32)
+        min_len = np.zeros((n,), np.int32)
+        max_len = np.zeros((n,), np.int32)
+        for i, (pi, si, total, _, mn, mx) in enumerate(packs):
+            ids[i, : pi.shape[1]], src[i, : si.shape[1]] = pi[0], si[0]
+            prompt_len[i], min_len[i], max_len[i] = total, mn, mx
+        max_gen = min(
+            ((int(max_len.max()) + 63) // 64) * 64, cfg.llm.max_seq_len - p_bucket
+        )
+        fn = self._lm_decode_fn(p_bucket, max_gen)
+        tokens, lengths = fn(
+            self.params["llm"], jnp.asarray(ids), jnp.asarray(src),
+            jnp.asarray(prompt_len), jnp.asarray(min_len), jnp.asarray(max_len),
+            self._next_rng(),
+        )
+        tokens, lengths = np.asarray(tokens), np.asarray(lengths)
+
+        # batched flow: shared token bucket, per-row prompt/feat lengths
+        ratio = cfg.flow.token_mel_ratio
+        totals = [len(p.flow_prompt_speech_tokens) + int(lengths[i]) for i, p in enumerate(prompts)]
+        tok_bucket = bucket_for(max(totals), buckets=FLOW_TOKEN_BUCKETS)
+        tok_arr = np.zeros((n, tok_bucket), np.int32)
+        feat = np.zeros((n, tok_bucket * ratio, cfg.flow.output_size), np.float32)
+        feat_len = np.zeros((n,), np.int32)
+        emb = np.stack([p.embedding for p in prompts])
+        for i, p in enumerate(prompts):
+            sp = p.flow_prompt_speech_tokens
+            tok_arr[i, : len(sp)] = sp
+            tok_arr[i, len(sp) : totals[i]] = tokens[i, : lengths[i]]
+            feat[i, : p.prompt_feat.shape[0]] = p.prompt_feat
+            feat_len[i] = p.prompt_feat.shape[0]
+        flow_fn = self._flow_fn(tok_bucket, False, True)
+        mel = np.asarray(
+            flow_fn(
+                self.params["flow"], jnp.asarray(tok_arr), jnp.asarray(totals),
+                jnp.asarray(feat), jnp.asarray(feat_len), jnp.asarray(emb),
+            )
+        )
+
+        # batched hift on the shared mel bucket; edge-replicate per row
+        mel_lens = [totals[i] * ratio - int(feat_len[i]) for i in range(n)]
+        h_bucket = bucket_for(max(mel_lens), buckets=(32, 64, 128, 256, 512, 1024, 2048))
+        mel_in = np.zeros((n, cfg.flow.output_size, h_bucket), np.float32)
+        for i in range(n):
+            seg = mel[i, :, int(feat_len[i]) : totals[i] * ratio]
+            mel_in[i, :, : seg.shape[1]] = seg
+            mel_in[i, :, seg.shape[1] :] = seg[:, -1:]
+        hift_fn = self._hift_fn(h_bucket, True)
+        cache = np.zeros((n, 1, self.source_cache_len), np.float32)
+        audio, _ = hift_fn(
+            self.params["hift"], jnp.asarray(mel_in), self._next_rng(),
+            jnp.asarray(cache), jnp.asarray(0),
+        )
+        audio = np.asarray(audio)
+        return [audio[i, : mel_lens[i] * cfg.hift.upsample_scale] for i in range(n)]
+
     def vc(
         self,
         source_speech_tokens: np.ndarray,

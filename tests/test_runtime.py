@@ -78,3 +78,36 @@ def test_tts_streaming_matches_total_length(model):
     # identical rng -> identical token stream -> identical total audio length
     assert len(streamed) == len(full)
     assert np.isfinite(streamed).all()
+
+
+def test_tts_batch(model):
+    rng = np.random.default_rng(5)
+    prompts = []
+    for i in range(3):
+        n_sp = 4 + i
+        prompts.append(
+            PromptInputs(
+                text_tokens=rng.integers(2, 200, 8 + i).astype(np.int32),
+                prompt_text_tokens=rng.integers(2, 200, 3).astype(np.int32),
+                llm_prompt_speech_tokens=rng.integers(0, CFG.llm.speech_token_size, n_sp).astype(np.int32),
+                flow_prompt_speech_tokens=rng.integers(0, CFG.flow.vocab_size, n_sp).astype(np.int32),
+                prompt_feat=rng.standard_normal((n_sp * 2, CFG.flow.output_size)).astype(np.float32),
+                embedding=rng.standard_normal(CFG.frontend.spk_embed_dim).astype(np.float32),
+            )
+        )
+    wavs = model.tts_batch(prompts)
+    assert len(wavs) == 3
+    scale = CFG.hift.upsample_scale * CFG.flow.token_mel_ratio
+    for w in wavs:
+        assert len(w) % scale == 0 and len(w) > 0
+        assert np.isfinite(w).all()
+
+
+def test_vc_mode(model):
+    rng = np.random.default_rng(6)
+    prompt = _prompt()
+    source = rng.integers(0, CFG.flow.vocab_size, 30).astype(np.int32)
+    wav = np.concatenate(list(model.vc(source, prompt, stream=False)))
+    assert len(wav) == 30 * CFG.flow.token_mel_ratio * CFG.hift.upsample_scale
+    chunks = list(model.vc(source, prompt, stream=True))
+    assert len(np.concatenate(chunks)) == len(wav)
