@@ -110,6 +110,21 @@ class TTSModel:
         return jax.jit(fn)
 
     @functools.lru_cache(maxsize=32)
+    def _lm_prefill_chunk_fn(self, p_bucket: int, max_gen: int):
+        """Fused prefill + first-chunk decode: one dispatch for minimum TTFA."""
+
+        def fn(params, ids, src, prompt_len, min_len, max_len, rng, target_step):
+            state = llm_mod.lm_prefill(
+                params, self.cfg.llm, ids, src, prompt_len, rng, max_gen
+            )
+            return llm_mod.lm_decode_chunk(
+                params, self.cfg.llm, state, prompt_len, min_len, max_len,
+                p_bucket, target_step,
+            )
+
+        return jax.jit(fn)
+
+    @functools.lru_cache(maxsize=32)
     def _lm_chunk_fn(self, p_bucket: int):
         def fn(params, state, prompt_len, min_len, max_len, target_step):
             return llm_mod.lm_decode_chunk(
@@ -290,11 +305,6 @@ class TTSModel:
             return
 
         # streaming: resumable decode chunks interleaved with synthesis
-        prefill = self._lm_prefill_fn(p_bucket, max_gen)
-        state = prefill(
-            self.params["llm"], jnp.asarray(ids), jnp.asarray(src),
-            jnp.asarray([prompt_len]), self._next_rng(),
-        )
         hop = self.token_hop_len
         la = self.pre_lookahead_len
         prompt_sp = len(prompt.flow_prompt_speech_tokens)
@@ -303,17 +313,29 @@ class TTSModel:
         min_a, max_a = jnp.asarray([min_len]), jnp.asarray([max_len])
         pl = jnp.asarray([prompt_len])
 
+        # fused prefill + first chunk: one device dispatch before first audio
+        first_need = hop + prompt_pad + la
+        state = self._lm_prefill_chunk_fn(p_bucket, max_gen)(
+            self.params["llm"], jnp.asarray(ids), jnp.asarray(src), pl,
+            min_a, max_a, self._next_rng(), jnp.asarray(first_need),
+        )
+
         chunk_fn = self._lm_chunk_fn(p_bucket)
         while True:
             this_hop = hop + prompt_pad if token_offset == 0 else hop
             need = token_offset + this_hop + la
-            if int(state.step) < need and not bool(jnp.all(state.finished)):
+            step, n_avail, finished = jax.device_get(
+                (state.step, state.lengths[0], state.finished[0])
+            )
+            if int(step) < need and not bool(finished):
                 state = chunk_fn(
                     self.params["llm"], state, pl, min_a, max_a, jnp.asarray(need)
                 )
-            n_avail = int(state.lengths[0])
-            done = bool(state.finished[0]) or int(state.step) >= state.tokens.shape[1]
-            if n_avail - token_offset >= this_hop + la:
+                step, n_avail, finished = jax.device_get(
+                    (state.step, state.lengths[0], state.finished[0])
+                )
+            done = bool(finished) or int(step) >= state.tokens.shape[1]
+            if int(n_avail) - token_offset >= this_hop + la:
                 chunk_tokens = np.asarray(state.tokens)[0, : token_offset + this_hop + la]
                 audio = self._token2wav(chunk_tokens, prompt, token_offset, session, True, False)
                 token_offset += this_hop
