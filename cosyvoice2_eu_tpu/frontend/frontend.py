@@ -185,3 +185,62 @@ class Frontend:
 
     def get_spk(self, spk_id: str) -> dict:
         return self.spk_info[spk_id]
+
+    def save_spk_info(self, path: str) -> None:
+        """Persist the speaker store (reference spk2info.pt, frontend.py:199)."""
+        flat = {}
+        for spk, art in self.spk_info.items():
+            for k, v in art.items():
+                if isinstance(v, np.ndarray):
+                    flat[f"{spk}::{k}"] = v
+                else:
+                    flat[f"{spk}::{k}::str"] = np.asarray(str(v))
+        np.savez(path, **flat)
+
+    def load_spk_info(self, path: str) -> None:
+        data = np.load(path, allow_pickle=False)
+        for key in data.files:
+            parts = key.split("::")
+            spk, k = parts[0], parts[1]
+            art = self.spk_info.setdefault(spk, {})
+            art[k] = str(data[key]) if len(parts) == 3 else data[key]
+
+
+def make_speech_tokenizer_fn(params, cfg=None):
+    """16 kHz wav -> FSQ codes via the JAX tokenizer port
+    (replaces the speech_tokenizer_v2.onnx session, frontend.py:262-274)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cosyvoice2_eu_tpu.models import speech_tokenizer as st
+    from cosyvoice2_eu_tpu.ops.mel import whisper_log_mel
+
+    cfg = cfg or st.SpeechTokenizerConfig()
+    encode = jax.jit(lambda mel, n: st.encode(params, cfg, mel, n))
+
+    def fn(wav_16k: np.ndarray) -> np.ndarray:
+        assert len(wav_16k) <= 30 * 16000, "prompt must be <= 30 s"
+        mel = whisper_log_mel(jnp.asarray(wav_16k[None]), n_mels=cfg.n_mels)
+        t = mel.shape[-1] - mel.shape[-1] % 4  # 4x downsample alignment
+        codes, code_len = encode(mel[:, :, :t], jnp.asarray([t]))
+        return np.asarray(codes)[0, : int(code_len[0])]
+
+    return fn
+
+
+def make_spk_embedding_fn(params, cfg=None):
+    """16 kHz wav -> 192-d x-vector via the CAM++ port
+    (replaces the campplus.onnx session, frontend.py:276-283)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cosyvoice2_eu_tpu.models import campplus as cam
+
+    cfg = cfg or cam.CAMPPlusConfig()
+    forward = jax.jit(lambda fb: cam.campplus_forward(params, cfg, fb))
+
+    def fn(wav_16k: np.ndarray) -> np.ndarray:
+        fbank = cam.kaldi_fbank_cmn(jnp.asarray(wav_16k[None]), cfg.feat_dim)
+        return np.asarray(forward(fbank))[0]
+
+    return fn

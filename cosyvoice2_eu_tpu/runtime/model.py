@@ -81,6 +81,9 @@ class TTSModel:
         self.params = params
         self.seed = seed
         self._rng = jax.random.key(seed)
+        from cosyvoice2_eu_tpu.utils.profiling import StageTimer
+
+        self.timer = StageTimer()
 
         stream = cfg.stream
         self.token_hop_len = stream.token_hop_len
@@ -212,15 +215,16 @@ class TTSModel:
         feat[0, :prompt_mel_len] = p.prompt_feat
 
         flow_fn = self._flow_fn(tok_bucket, stream, finalize)
-        mel = flow_fn(
-            self.params["flow"],
-            jnp.asarray(tok_arr),
-            jnp.asarray([total]),
-            jnp.asarray(feat),
-            jnp.asarray([prompt_mel_len]),
-            jnp.asarray(p.embedding[None]),
-        )
-        mel = np.asarray(mel)  # (1, 80, mel_bucket-ish)
+        with self.timer.stage(f"flow[{tok_bucket}]"):
+            mel = flow_fn(
+                self.params["flow"],
+                jnp.asarray(tok_arr),
+                jnp.asarray([total]),
+                jnp.asarray(feat),
+                jnp.asarray([prompt_mel_len]),
+                jnp.asarray(p.embedding[None]),
+            )
+            mel = np.asarray(mel)  # (1, 80, mel_bucket-ish)
         mel_valid = total * ratio if finalize else (total - self.pre_lookahead_len) * ratio
         tts_mel = mel[:, :, prompt_mel_len + token_offset * ratio : mel_valid]
 
@@ -252,16 +256,17 @@ class TTSModel:
         cache_buf = np.zeros((1, 1, self.source_cache_len), np.float32)
         cache_buf[:, :, :c_len] = cache_source
         hift_fn = self._hift_fn(h_bucket, True)
-        audio, source = hift_fn(
-            self.params["hift"],
-            jnp.asarray(mel_in),
-            self._next_rng(),
-            jnp.asarray(cache_buf),
-            jnp.asarray(c_len),
-        )
-        n_samples = T_mel * self.cfg.hift.upsample_scale
-        audio = np.asarray(audio)[0, :n_samples]
-        source = np.asarray(source)[:, :, :n_samples]
+        with self.timer.stage(f"hift[{h_bucket}]"):
+            audio, source = hift_fn(
+                self.params["hift"],
+                jnp.asarray(mel_in),
+                self._next_rng(),
+                jnp.asarray(cache_buf),
+                jnp.asarray(c_len),
+            )
+            n_samples = T_mel * self.cfg.hift.upsample_scale
+            audio = np.asarray(audio)[0, :n_samples]
+            source = np.asarray(source)[:, :, :n_samples]
 
         if not finalize:
             if cache is not None:
@@ -295,12 +300,13 @@ class TTSModel:
 
         if not stream:
             fn = self._lm_decode_fn(p_bucket, max_gen)
-            tokens, lengths = fn(
-                self.params["llm"], jnp.asarray(ids), jnp.asarray(src),
-                jnp.asarray([prompt_len]), jnp.asarray([min_len]), jnp.asarray([max_len]),
-                self._next_rng(),
-            )
-            tokens = np.asarray(tokens)[0, : int(lengths[0])]
+            with self.timer.stage(f"lm_decode[{p_bucket}+{max_gen}]"):
+                tokens, lengths = fn(
+                    self.params["llm"], jnp.asarray(ids), jnp.asarray(src),
+                    jnp.asarray([prompt_len]), jnp.asarray([min_len]), jnp.asarray([max_len]),
+                    self._next_rng(),
+                )
+                tokens = np.asarray(tokens)[0, : int(lengths[0])]
             yield self._token2wav(tokens, prompt, 0, session, False, True, speed)
             return
 
