@@ -98,12 +98,13 @@ class Cosy2EU:
         speed: float = 1.0,
         text_frontend: bool = False,
         mode: str = "cross_lingual",
+        instruct_text: str = "",
         **precomputed,
     ) -> Tuple[np.ndarray, int]:
         """Synthesize; returns (waveform (1, T) float32, sample_rate)."""
         chunks = list(
             self._generate(text, prompt, prompt_text, False, speed, text_frontend, mode,
-                           **precomputed)
+                           instruct_text=instruct_text, **precomputed)
         )
         return np.concatenate(chunks)[None], self.sample_rate
 
@@ -116,24 +117,31 @@ class Cosy2EU:
         speed: float = 1.0,
         text_frontend: bool = False,
         mode: str = "cross_lingual",
+        instruct_text: str = "",
         **precomputed,
     ) -> Iterator[np.ndarray]:
         """Yield waveform chunks (1, t) for streaming playback."""
         for chunk in self._generate(
-            text, prompt, prompt_text, True, speed, text_frontend, mode, **precomputed
+            text, prompt, prompt_text, True, speed, text_frontend, mode,
+            instruct_text=instruct_text, **precomputed
         ):
             yield chunk[None]
 
     def _generate(self, text, prompt, prompt_text, stream, speed, text_frontend, mode,
-                  **precomputed):
+                  instruct_text: str = "", **precomputed):
         prompt_art = self._prepare(prompt, prompt_text, **precomputed)
         segments = (
             self._frontend.normalize_text(text, split=True) if text_frontend else [text]
         )
-        build = {
-            "zero_shot": self._frontend.frontend_zero_shot,
-            "cross_lingual": self._frontend.frontend_cross_lingual,
-        }[mode]
+        if mode == "instruct2":
+            build = lambda seg, art: self._frontend.frontend_instruct2(
+                seg, instruct_text, art
+            )
+        else:
+            build = {
+                "zero_shot": self._frontend.frontend_zero_shot,
+                "cross_lingual": self._frontend.frontend_cross_lingual,
+            }[mode]
         for seg in segments:
             inputs = build(seg, prompt_art)
             yield from self._model.tts(inputs, stream=stream, speed=speed)
