@@ -36,6 +36,8 @@ def make_schedule(cfg: TrainConfig):
         return warmup_lr(cfg.lr, cfg.warmup_steps)
     if cfg.scheduler == "constantlr":
         return constant_lr(cfg.lr)
+    if cfg.scheduler == "noamhold":
+        return noam_hold_annealing(cfg.lr, cfg.warmup_steps)
     raise ValueError(f"unknown scheduler {cfg.scheduler}")
 
 
@@ -57,3 +59,26 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     if cfg.accum_grad > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.accum_grad)
     return tx
+
+
+def noam_hold_annealing(
+    lr: float,
+    warmup_steps: int,
+    hold_steps: int = 0,
+    decay_rate: float = 0.5,
+    min_lr: float = 0.0,
+):
+    """NoamHoldAnnealing (reference scheduler.py:623, NeMo-derived): Noam
+    warmup, optional hold plateau, then polynomial annealing to min_lr."""
+
+    def sched(step):
+        import jax.numpy as jnp
+
+        s = jnp.maximum(jnp.asarray(step, jnp.float32), 1.0)
+        warm = lr * s / warmup_steps
+        hold_end = warmup_steps + hold_steps
+        decay = lr * ((hold_end / jnp.maximum(s, hold_end)) ** decay_rate)
+        out = jnp.where(s <= warmup_steps, warm, jnp.where(s <= hold_end, lr, decay))
+        return jnp.maximum(out, min_lr)
+
+    return sched

@@ -1,0 +1,95 @@
+#!/usr/bin/env bash
+# MLS FR/DE training recipe — TPU-native counterpart of the reference's
+# examples/libritts/cosyvoice2/run.sh (stages -1..8).
+#
+# Stages:
+#  0  prepare wav.scp/text/utt2spk from the MLS directory layout
+#  1  extract FSQ speech tokens + CAM++ x-vectors, write parquet shards
+#  2  train the speech LM
+#  3  train the flow (CFM) model
+#  4  train the HiFT vocoder (GAN)
+#  5  average top-5 checkpoints by CV loss and export finals
+#  6  evaluate (RTF + objective metrics)
+set -euo pipefail
+
+stage=${1:-0}
+stop_stage=${2:-6}
+data_root=${DATA_ROOT:-data/mls}
+exp=${EXP:-exp}
+lang=${LANG_CODE:-fr}
+tokenizer_params=${TOKENIZER_PARAMS:-}   # orbax pytree of the FSQ tokenizer
+campplus_params=${CAMPPLUS_PARAMS:-}     # orbax pytree of CAM++
+
+if [ "$stage" -le 0 ] && [ "$stop_stage" -ge 0 ]; then
+  echo "stage 0: kaldi-style lists from MLS layout (audio/ + transcripts.txt)"
+  python - <<'PY'
+import os, sys
+root = os.environ.get("DATA_ROOT", "data/mls")
+out = os.path.join(root, "lists")
+os.makedirs(out, exist_ok=True)
+wav, txt, u2s = [], [], []
+trans = os.path.join(root, "transcripts.txt")
+for line in open(trans):
+    utt, text = line.strip().split("\t", 1)
+    spk = utt.split("_")[0]
+    path = os.path.join(root, "audio", spk, utt.split("_")[1], utt + ".wav")
+    if os.path.exists(path):
+        wav.append(f"{utt} {path}"); txt.append(f"{utt} {text}"); u2s.append(f"{utt} {spk}")
+open(os.path.join(out, "wav.scp"), "w").write("\n".join(wav) + "\n")
+open(os.path.join(out, "text"), "w").write("\n".join(txt) + "\n")
+open(os.path.join(out, "utt2spk"), "w").write("\n".join(u2s) + "\n")
+print(f"wrote {len(wav)} utterances")
+PY
+fi
+
+if [ "$stage" -le 1 ] && [ "$stop_stage" -ge 1 ]; then
+  echo "stage 1: features -> parquet"
+  python tools/prepare_data.py \
+    --wav_scp "$data_root/lists/wav.scp" --text "$data_root/lists/text" \
+    --utt2spk "$data_root/lists/utt2spk" --out_dir "$data_root/parquet" \
+    ${tokenizer_params:+--tokenizer_params "$tokenizer_params"} \
+    ${campplus_params:+--campplus_params "$campplus_params"}
+  # 90/10 train/cv split of the shard list
+  python - <<'PY'
+import os
+root = os.environ.get("DATA_ROOT", "data/mls")
+shards = open(os.path.join(root, "parquet/data.list")).read().split()
+n_cv = max(1, len(shards) // 10)
+open(os.path.join(root, "train.list"), "w").write("\n".join(shards[n_cv:]) + "\n")
+open(os.path.join(root, "cv.list"), "w").write("\n".join(shards[:n_cv]) + "\n")
+PY
+fi
+
+if [ "$stage" -le 2 ] && [ "$stop_stage" -ge 2 ]; then
+  echo "stage 2: train LM"
+  python -m cosyvoice2_eu_tpu.train.train --model llm \
+    --train_data "$data_root/train.list" --cv_data "$data_root/cv.list" \
+    --model_dir "$exp/llm-$lang" --resume
+fi
+
+if [ "$stage" -le 3 ] && [ "$stop_stage" -ge 3 ]; then
+  echo "stage 3: train flow"
+  python -m cosyvoice2_eu_tpu.train.train --model flow \
+    --train_data "$data_root/train.list" --cv_data "$data_root/cv.list" \
+    --model_dir "$exp/flow-$lang" --resume
+fi
+
+if [ "$stage" -le 4 ] && [ "$stop_stage" -ge 4 ]; then
+  echo "stage 4: train HiFT (GAN)"
+  python -m cosyvoice2_eu_tpu.train.train_gan \
+    --train_data "$data_root/train.list" --model_dir "$exp/hift-$lang"
+fi
+
+if [ "$stage" -le 5 ] && [ "$stop_stage" -ge 5 ]; then
+  echo "stage 5: average top-5 by CV loss"
+  for m in llm flow; do
+    python -m cosyvoice2_eu_tpu.train.select average \
+      --model_dir "$exp/$m-$lang" --num 5 --out "averaged-$lang"
+  done
+fi
+
+if [ "$stage" -le 6 ] && [ "$stop_stage" -ge 6 ]; then
+  echo "stage 6: evaluate"
+  python -m cosyvoice2_eu_tpu.eval.run_eval \
+    --dataset "$data_root/test" --out "$exp/eval-$lang" --language "$lang"
+fi
