@@ -16,6 +16,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# the axon plugin ignores the env var; the config API reliably forces CPU
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 # single-core CI box: persist compiled executables across test runs
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cosyvoice2_eu_tpu")

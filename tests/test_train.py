@@ -79,6 +79,8 @@ def test_lm_train_step_sharded(fsdp):
 
     with mesh:
         params = shard_params(params, mesh)
+        # snapshot before the step: the train step donates its input state
+        w_before = np.asarray(jax.device_get(params["llm_decoder"]["weight"]))
         state = init_train_state(params, tx)
         batch = shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, mesh)
         step_fn = make_lm_train_step(cfg, TRAIN, tx)
@@ -87,8 +89,8 @@ def test_lm_train_step_sharded(fsdp):
     assert np.isfinite(float(metrics["loss"]))
     assert float(metrics["acc"]) >= 0
     # params actually moved
-    w0 = np.asarray(jax.device_get(state2.params["llm_decoder"]["weight"]))
-    assert not np.allclose(w0, np.asarray(jax.device_get(params["llm_decoder"]["weight"])))
+    w_after = np.asarray(jax.device_get(state2.params["llm_decoder"]["weight"]))
+    assert not np.allclose(w_after, w_before)
 
 
 def test_flow_train_step():
