@@ -162,6 +162,7 @@ def load(
     config: Optional[TTSConfig] = None,
     seed: int = 0,
     compute_dtype="bfloat16",
+    lm_quant: Optional[str] = None,
 ) -> Cosy2EU:
     """Load the model once and reuse for multiple in-memory calls.
 
@@ -211,6 +212,6 @@ def load(
         import jax.numpy as jnp
 
         compute_dtype = None if compute_dtype in ("float32", "none") else getattr(jnp, compute_dtype)
-    model = TTSModel(cfg, params, seed=seed, compute_dtype=compute_dtype)
+    model = TTSModel(cfg, params, seed=seed, compute_dtype=compute_dtype, lm_quant=lm_quant)
     frontend = Frontend(cfg, tokenizer=tokenizer)
     return Cosy2EU(model, frontend, cfg)

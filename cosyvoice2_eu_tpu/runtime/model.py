@@ -58,7 +58,7 @@ class PromptInputs:
 
 class TTSModel:
     def __init__(self, cfg: TTSConfig, params: dict, seed: int = 0,
-                 compute_dtype=jnp.bfloat16):
+                 compute_dtype=jnp.bfloat16, lm_quant: str | None = None):
         self.cfg = cfg
         # bf16 inference for the LM and flow (weights stream from HBM at half
         # the bytes; MXU-native dtype); HiFT stays fp32 — its phase/cumsum and
@@ -78,6 +78,23 @@ class TTSModel:
                 "flow": flow_cast,
                 "hift": params["hift"],
             }
+        if lm_quant == "int8":
+            # weight-only int8 on the decode-bound projections (backbone
+            # attention/MLP + speech head); embeddings stay high precision
+            from cosyvoice2_eu_tpu.utils.params import quantize_dense
+
+            llm = dict(params["llm"])
+            layers = []
+            for lp in llm["backbone"]["layers"]:
+                layers.append(
+                    {
+                        k: (quantize_dense(v) if k.endswith("_proj") else v)
+                        for k, v in lp.items()
+                    }
+                )
+            llm["backbone"] = dict(llm["backbone"], layers=layers)
+            llm["llm_decoder"] = quantize_dense(llm["llm_decoder"])
+            params = dict(params, llm=llm)
         self.params = params
         self.seed = seed
         self._rng = jax.random.key(seed)

@@ -79,10 +79,26 @@ def init_embedding(rng, num: int, dim: int) -> dict:
 # ---------------------------------------------------------------------------
 
 def dense(p: dict, x: jnp.ndarray) -> jnp.ndarray:
-    y = x @ p["weight"].astype(x.dtype).T
+    if "weight_q" in p:
+        # int8 weight-only: HBM reads halve vs bf16; the int8->compute convert
+        # fuses into the dot on TPU.  y = (x @ Wq^T) * scale
+        y = (x @ p["weight_q"].T.astype(x.dtype)) * p["scale"].astype(x.dtype)
+    else:
+        y = x @ p["weight"].astype(x.dtype).T
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
     return y
+
+
+def quantize_dense(p: dict) -> dict:
+    """Per-output-channel symmetric int8 quantization of a dense layer."""
+    w = np.asarray(p["weight"], np.float32)
+    scale = np.maximum(np.abs(w).max(axis=1), 1e-8) / 127.0
+    w_q = np.clip(np.round(w / scale[:, None]), -127, 127).astype(np.int8)
+    out = {"weight_q": jnp.asarray(w_q), "scale": jnp.asarray(scale, jnp.float32)}
+    if "bias" in p:
+        out["bias"] = p["bias"]
+    return out
 
 
 def embedding(p: dict, ids: jnp.ndarray) -> jnp.ndarray:

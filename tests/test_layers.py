@@ -79,3 +79,19 @@ def test_rms_norm_matches_torch():
     xt = torch.from_numpy(x)
     want = xt * torch.rsqrt(xt.pow(2).mean(-1, keepdim=True) + 1e-6) * torch.from_numpy(w)
     np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=1e-5, rtol=1e-4)
+
+
+def test_int8_dense_quantization():
+    rng = np.random.default_rng(7)
+    w = rng.standard_normal((64, 96)).astype(np.float32)
+    b = rng.standard_normal(64).astype(np.float32)
+    x = rng.standard_normal((4, 96)).astype(np.float32)
+    p = {"weight": jnp.asarray(w), "bias": jnp.asarray(b)}
+    pq = P.quantize_dense(p)
+    assert pq["weight_q"].dtype == jnp.int8
+    y = np.asarray(P.dense(p, jnp.asarray(x)))
+    yq = np.asarray(P.dense(pq, jnp.asarray(x)))
+    cos = np.sum(y * yq) / (np.linalg.norm(y) * np.linalg.norm(yq))
+    assert cos > 0.999
+    rel = np.linalg.norm(y - yq) / np.linalg.norm(y)
+    assert rel < 0.02
