@@ -31,6 +31,27 @@ class Qwen2Config:
     rope_theta: float = 1_000_000.0
     max_position_embeddings: int = 32768
     tie_word_embeddings: bool = True  # unused: CosyVoice reads hidden states only
+    # Qwen3-style per-head RMS norms on q/k (the reference's pluggable HF
+    # backbone surface, llm.py:46 HFBackbone accepts e.g. Qwen/Qwen3-0.6B)
+    use_qk_norm: bool = False
+    attention_bias: bool = True  # qwen2: True; qwen3/llama: False
+
+
+def qwen3_0_6b_config() -> "Qwen2Config":
+    """Qwen3-0.6B backbone (the reference's `--backbone hf:Qwen/Qwen3-0.6B`)."""
+    return Qwen2Config(
+        vocab_size=151936,
+        hidden_size=1024,
+        intermediate_size=3072,
+        num_layers=28,
+        num_heads=16,
+        num_kv_heads=8,
+        head_dim=128,
+        rms_norm_eps=1e-6,
+        rope_theta=1_000_000.0,
+        use_qk_norm=True,
+        attention_bias=False,
+    )
 
 
 @dataclasses.dataclass(frozen=True)

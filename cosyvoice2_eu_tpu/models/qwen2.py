@@ -48,19 +48,21 @@ def init_qwen2(rng, cfg: Qwen2Config) -> dict:
     kv_dim = cfg.num_kv_heads * cfg.head_dim
     for i in range(cfg.num_layers):
         ks = jax.random.split(keys[i], 7)
-        layers.append(
-            {
-                "input_layernorm": init_rms_norm(h),
-                "q_proj": init_dense(ks[0], h, q_dim, bias=True),
-                "k_proj": init_dense(ks[1], h, kv_dim, bias=True),
-                "v_proj": init_dense(ks[2], h, kv_dim, bias=True),
-                "o_proj": init_dense(ks[3], q_dim, h, bias=False),
-                "post_attention_layernorm": init_rms_norm(h),
-                "gate_proj": init_dense(ks[4], h, cfg.intermediate_size, bias=False),
-                "up_proj": init_dense(ks[5], h, cfg.intermediate_size, bias=False),
-                "down_proj": init_dense(ks[6], cfg.intermediate_size, h, bias=False),
-            }
-        )
+        layer = {
+            "input_layernorm": init_rms_norm(h),
+            "q_proj": init_dense(ks[0], h, q_dim, bias=cfg.attention_bias),
+            "k_proj": init_dense(ks[1], h, kv_dim, bias=cfg.attention_bias),
+            "v_proj": init_dense(ks[2], h, kv_dim, bias=cfg.attention_bias),
+            "o_proj": init_dense(ks[3], q_dim, h, bias=False),
+            "post_attention_layernorm": init_rms_norm(h),
+            "gate_proj": init_dense(ks[4], h, cfg.intermediate_size, bias=False),
+            "up_proj": init_dense(ks[5], h, cfg.intermediate_size, bias=False),
+            "down_proj": init_dense(ks[6], cfg.intermediate_size, h, bias=False),
+        }
+        if cfg.use_qk_norm:
+            layer["q_norm"] = init_rms_norm(cfg.head_dim)
+            layer["k_norm"] = init_rms_norm(cfg.head_dim)
+        layers.append(layer)
     return {
         "embed_tokens": init_embedding(keys[-2], cfg.vocab_size, h),
         "layers": layers,
@@ -110,6 +112,9 @@ def _layer_forward(lp, cfg: Qwen2Config, x, cos, sin, bias, kv=None, layer_idx=0
     q = dense(lp["q_proj"], h).reshape(b, t, cfg.num_heads, cfg.head_dim).transpose(0, 2, 1, 3)
     k = dense(lp["k_proj"], h).reshape(b, t, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
     v = dense(lp["v_proj"], h).reshape(b, t, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    if "q_norm" in lp:  # qwen3-style per-head norms (applied pre-RoPE)
+        q = rms_norm(lp["q_norm"], q, cfg.rms_norm_eps)
+        k = rms_norm(lp["k_norm"], k, cfg.rms_norm_eps)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 

@@ -94,21 +94,23 @@ def convert_llm(state: Dict[str, np.ndarray], cfg: LMConfig) -> dict:
     layers = []
     for i in range(cfg.backbone.num_layers):
         pre = f"{base}.layers.{i}"
-        layers.append(
-            {
-                "input_layernorm": {"weight": s.take(f"{pre}.input_layernorm.weight")},
-                "q_proj": s.linear(f"{pre}.self_attn.q_proj"),
-                "k_proj": s.linear(f"{pre}.self_attn.k_proj"),
-                "v_proj": s.linear(f"{pre}.self_attn.v_proj"),
-                "o_proj": s.linear(f"{pre}.self_attn.o_proj", bias=False),
-                "post_attention_layernorm": {
-                    "weight": s.take(f"{pre}.post_attention_layernorm.weight")
-                },
-                "gate_proj": s.linear(f"{pre}.mlp.gate_proj", bias=False),
-                "up_proj": s.linear(f"{pre}.mlp.up_proj", bias=False),
-                "down_proj": s.linear(f"{pre}.mlp.down_proj", bias=False),
-            }
-        )
+        layer = {
+            "input_layernorm": {"weight": s.take(f"{pre}.input_layernorm.weight")},
+            "q_proj": s.linear(f"{pre}.self_attn.q_proj"),
+            "k_proj": s.linear(f"{pre}.self_attn.k_proj"),
+            "v_proj": s.linear(f"{pre}.self_attn.v_proj"),
+            "o_proj": s.linear(f"{pre}.self_attn.o_proj", bias=False),
+            "post_attention_layernorm": {
+                "weight": s.take(f"{pre}.post_attention_layernorm.weight")
+            },
+            "gate_proj": s.linear(f"{pre}.mlp.gate_proj", bias=False),
+            "up_proj": s.linear(f"{pre}.mlp.up_proj", bias=False),
+            "down_proj": s.linear(f"{pre}.mlp.down_proj", bias=False),
+        }
+        if s.has(f"{pre}.self_attn.q_norm.weight"):  # qwen3 backbones
+            layer["q_norm"] = {"weight": s.take(f"{pre}.self_attn.q_norm.weight")}
+            layer["k_norm"] = {"weight": s.take(f"{pre}.self_attn.k_norm.weight")}
+        layers.append(layer)
     params = {
         "backbone": {
             "embed_tokens": {"weight": s.take(f"{base}.embed_tokens.weight")},

@@ -150,3 +150,48 @@ def test_lm_decode_shapes_and_stop():
     assert 10 <= lengths[0] <= 40
     assert (tokens[0, : lengths[0]] < cfg.eos_token).all()
     assert (tokens[0, lengths[0] :] == 0).all()
+
+
+def test_qwen3_style_forward_matches_hf():
+    """qk-norm + no-bias attention (Qwen3 backbone support)."""
+    from transformers.models.qwen3.modeling_qwen3 import Qwen3Model
+    from transformers import Qwen3Config as HF3Config
+
+    cfg3 = Qwen2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16,
+        use_qk_norm=True, attention_bias=False,
+    )
+    params = init_qwen2(jax.random.key(3), cfg3)
+
+    hf_cfg = HF3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, rms_norm_eps=cfg3.rms_norm_eps, rope_theta=cfg3.rope_theta,
+        attn_implementation="eager",
+    )
+    model = Qwen3Model(hf_cfg)
+    sd = {
+        "embed_tokens.weight": params["embed_tokens"]["weight"],
+        "norm.weight": params["norm"]["weight"],
+    }
+    for i, lp in enumerate(params["layers"]):
+        pre = f"layers.{i}."
+        sd[pre + "input_layernorm.weight"] = lp["input_layernorm"]["weight"]
+        sd[pre + "post_attention_layernorm.weight"] = lp["post_attention_layernorm"]["weight"]
+        for name in ["q_proj", "k_proj", "v_proj", "o_proj"]:
+            sd[pre + f"self_attn.{name}.weight"] = lp[name]["weight"]
+        sd[pre + "self_attn.q_norm.weight"] = lp["q_norm"]["weight"]
+        sd[pre + "self_attn.k_norm.weight"] = lp["k_norm"]["weight"]
+        for name in ["gate_proj", "up_proj", "down_proj"]:
+            sd[pre + f"mlp.{name}.weight"] = lp[name]["weight"]
+    model.load_state_dict({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, strict=True)
+    model.eval()
+
+    rng = np.random.default_rng(5)
+    embeds = rng.standard_normal((1, 9, 64)).astype(np.float32) * 0.05
+    valid = np.ones((1, 9), bool)
+    ours = qwen2_forward(params, cfg3, jnp.asarray(embeds), jnp.asarray(valid))
+    with torch.no_grad():
+        theirs = model(inputs_embeds=torch.from_numpy(embeds)).last_hidden_state
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), atol=3e-4, rtol=1e-3)
