@@ -381,3 +381,98 @@ def tiny_test_config() -> TTSConfig:
         f0_predictor=F0PredictorConfig(in_channels=16, cond_channels=32),
     )
     return TTSConfig(llm=llm, flow=flow, hift=hift)
+
+
+# ---------------------------------------------------------------------------
+# serialization (the reference's yaml-override surface, cosyvoice.py:177-226)
+# ---------------------------------------------------------------------------
+
+def config_to_dict(cfg) -> dict:
+    """Nested dataclass -> plain dict (JSON-serializable)."""
+    if dataclasses.is_dataclass(cfg):
+        return {f.name: config_to_dict(getattr(cfg, f.name)) for f in dataclasses.fields(cfg)}
+    if isinstance(cfg, tuple):
+        return [config_to_dict(v) for v in cfg]
+    return cfg
+
+
+def config_from_dict(cls, data: dict):
+    """Rebuild a (nested) frozen dataclass from a dict, applying overrides."""
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in data:
+            continue
+        v = data[f.name]
+        if dataclasses.is_dataclass(f.type) or (
+            isinstance(f.type, type) and dataclasses.is_dataclass(f.type)
+        ):
+            kwargs[f.name] = config_from_dict(f.type, v)
+        elif isinstance(v, list):
+            kwargs[f.name] = tuple(tuple(x) if isinstance(x, list) else x for x in v)
+        else:
+            kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+def load_config(path: str | None = None, overrides: dict | None = None) -> TTSConfig:
+    """TTSConfig from a JSON file plus nested overrides, e.g.
+    load_config(overrides={"llm": {"top_p": 0.9}, "chunk_size": 50})."""
+    import json
+
+    data = {}
+    if path:
+        with open(path) as f:
+            data = json.load(f)
+    if overrides:
+        def merge(dst, src):
+            for k, v in src.items():
+                if isinstance(v, dict) and isinstance(dst.get(k), dict):
+                    merge(dst[k], v)
+                else:
+                    dst[k] = v
+        base = config_to_dict(TTSConfig())
+        merge(base, data)
+        merge(base, overrides)
+        data = base
+    elif path:
+        base = config_to_dict(TTSConfig())
+        def merge2(dst, src):
+            for k, v in src.items():
+                if isinstance(v, dict) and isinstance(dst.get(k), dict):
+                    merge2(dst[k], v)
+                else:
+                    dst[k] = v
+        merge2(base, data)
+        data = base
+    else:
+        return TTSConfig()
+    return _build_tts_config(data)
+
+
+def _build_tts_config(data: dict) -> TTSConfig:
+    llm_d = data.get("llm", {})
+    backbone = config_from_dict(Qwen2Config, llm_d.get("backbone", {}))
+    llm = config_from_dict(LMConfig, {**llm_d, "backbone": {}})
+    llm = dataclasses.replace(llm, backbone=backbone)
+    flow_d = data.get("flow", {})
+    flow = config_from_dict(FlowConfig, {**flow_d, "encoder": {}, "estimator": {}, "cfm": {}})
+    flow = dataclasses.replace(
+        flow,
+        encoder=config_from_dict(ConformerConfig, flow_d.get("encoder", {})),
+        estimator=config_from_dict(EstimatorConfig, flow_d.get("estimator", {})),
+        cfm=config_from_dict(CFMConfig, flow_d.get("cfm", {})),
+    )
+    hift_d = data.get("hift", {})
+    hift = config_from_dict(HiFTConfig, {**hift_d, "f0_predictor": {}})
+    hift = dataclasses.replace(
+        hift, f0_predictor=config_from_dict(F0PredictorConfig, hift_d.get("f0_predictor", {}))
+    )
+    top = {k: v for k, v in data.items() if k in ("sample_rate", "token_frame_rate", "token_mel_ratio", "chunk_size")}
+    return TTSConfig(
+        llm=llm, flow=flow, hift=hift,
+        mel=config_from_dict(MelConfig, data.get("mel", {})),
+        whisper_mel=config_from_dict(WhisperMelConfig, data.get("whisper_mel", {})),
+        stream=config_from_dict(StreamConfig, data.get("stream", {})),
+        frontend=config_from_dict(FrontendConfig, data.get("frontend", {})),
+        **top,
+    )
