@@ -253,6 +253,8 @@ class TTSModel:
         else:
             cache_source = np.zeros((1, 1, 0), np.float32)
 
+        if finalize and speed != 1.0 and cache is not None:
+            raise ValueError("speed change only supports non-stream inference mode")
         if finalize and speed != 1.0:
             # linear mel interpolation for speed control (model.py:328-330)
             T = tts_mel.shape[2]
