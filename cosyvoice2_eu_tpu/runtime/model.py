@@ -58,8 +58,16 @@ class PromptInputs:
 
 class TTSModel:
     def __init__(self, cfg: TTSConfig, params: dict, seed: int = 0,
-                 compute_dtype=jnp.bfloat16, lm_quant: str | None = None):
+                 compute_dtype=jnp.bfloat16, lm_quant: str | None = None,
+                 cached_stream: bool = True, stream_max_tokens: int = 768):
+        """cached_stream: use the O(T)-per-chunk cached flow for streaming
+        (models/flow_streaming.py) instead of the reference's full-prefix
+        recompute.  Exact-equality with the recompute is test-verified; the
+        final chunk always uses the reference's finalize path."""
         self.cfg = cfg
+        self.cached_stream = cached_stream
+        self.stream_max_tokens = stream_max_tokens
+        self._stream_params = None  # lazily built rel-pos tables
         # bf16 inference for the LM and flow (weights stream from HBM at half
         # the bytes; MXU-native dtype); HiFT stays fp32 — its phase/cumsum and
         # iSTFT numerics do not tolerate bf16.
@@ -163,6 +171,25 @@ class TTSModel:
 
         return jax.jit(fn)
 
+    def _get_stream_params(self):
+        if self._stream_params is None:
+            from cosyvoice2_eu_tpu.models.flow_streaming import prepare_stream_params
+
+            self._stream_params = prepare_stream_params(
+                self.params["flow"], self.cfg.flow, self.stream_max_tokens
+            )
+        return self._stream_params
+
+    @functools.lru_cache(maxsize=4)
+    def _flow_chunk_fn(self, hop: int):
+        from cosyvoice2_eu_tpu.models.flow_streaming import flow_chunk
+
+        def fn(sparams, state, tok, ctx, emb, cond):
+            return flow_chunk(sparams, self.cfg.flow, state, tok, ctx, emb, cond)
+
+        # donate the (large) cache state so each chunk updates in place
+        return jax.jit(fn, donate_argnums=(1,))
+
     @functools.lru_cache(maxsize=64)
     def _hift_fn(self, mel_bucket: int, with_cache: bool):
         def fn(params, mel, rng, cache_source, cache_len):
@@ -245,7 +272,12 @@ class TTSModel:
         mel_valid = total * ratio if finalize else (total - self.pre_lookahead_len) * ratio
         tts_mel = mel[:, :, prompt_mel_len + token_offset * ratio : mel_valid]
 
-        # prepend hift mel cache
+        return self._hift_chunk(tts_mel, session, finalize, speed)
+
+    def _hift_chunk(self, tts_mel: np.ndarray, session: dict, finalize: bool,
+                    speed: float = 1.0) -> np.ndarray:
+        """Vocode one mel chunk with cache prepend, crossfade, and source
+        splicing (mirrors the hift half of token2wav, cli/model.py:312-334)."""
         cache = session.get("hift_cache")
         if cache is not None:
             tts_mel = np.concatenate([cache["mel"], tts_mel], axis=2)
@@ -329,7 +361,14 @@ class TTSModel:
             yield self._token2wav(tokens, prompt, 0, session, False, True, speed)
             return
 
-        # streaming: resumable decode chunks interleaved with synthesis
+        if self.cached_stream:
+            yield from self._tts_stream_cached(
+                prompt, ids, src, prompt_len, min_len, max_len, p_bucket, max_gen,
+                session, speed,
+            )
+            return
+
+        # streaming (reference semantics): full-prefix recompute per chunk
         hop = self.token_hop_len
         la = self.pre_lookahead_len
         prompt_sp = len(prompt.flow_prompt_speech_tokens)
@@ -369,6 +408,103 @@ class TTSModel:
                 break
         final_tokens = np.asarray(state.tokens)[0, : int(state.lengths[0])]
         yield self._token2wav(final_tokens, prompt, token_offset, session, False, True, speed)
+
+    def _tts_stream_cached(
+        self, prompt: PromptInputs, ids, src, prompt_len, min_len, max_len,
+        p_bucket: int, max_gen: int, session: dict, speed: float,
+    ) -> Generator[np.ndarray, None, None]:
+        """Streaming with the chunk-cached flow: the combined
+        [prompt ++ generated] token stream feeds the flow in fixed 25-token
+        chunks (one compiled program, O(1) per chunk); emitted mel follows the
+        reference's hop schedule exactly; the final chunk falls back to the
+        reference's full-recompute finalize path."""
+        from cosyvoice2_eu_tpu.models.flow_streaming import init_flow_stream_state
+
+        cfg = self.cfg
+        hop, la = self.token_hop_len, self.pre_lookahead_len
+        ratio = cfg.flow.token_mel_ratio
+        P = len(prompt.flow_prompt_speech_tokens)
+        prompt_pad = int(np.ceil(P / hop) * hop - P)
+        prompt_mel = P * ratio
+
+        dtype = self.params["flow"]["input_embedding"]["weight"].dtype
+        sparams = self._get_stream_params()
+        fstate = init_flow_stream_state(
+            cfg.flow, self.stream_max_tokens, dtype=dtype
+        )
+        flow_fn = self._flow_chunk_fn(hop)
+        chunk_fn = self._lm_chunk_fn(p_bucket)
+        min_a, max_a = jnp.asarray([min_len]), jnp.asarray([max_len])
+        pl = jnp.asarray([prompt_len])
+
+        # fused prefill + enough tokens for the first feed
+        first_gen_needed = max(hop + la - P, 1)
+        state = self._lm_prefill_chunk_fn(p_bucket, max_gen)(
+            self.params["llm"], jnp.asarray(ids), jnp.asarray(src), pl,
+            min_a, max_a, self._next_rng(), jnp.asarray(first_gen_needed),
+        )
+
+        def combined(i0, n):
+            """tokens [i0, i0+n) of prompt ++ generated (host view)."""
+            out = np.zeros(n, np.int32)
+            gen = np.asarray(state.tokens)[0]
+            for k in range(n):
+                i = i0 + k
+                out[k] = prompt.flow_prompt_speech_tokens[i] if i < P else gen[i - P]
+            return out
+
+        t_fed = 0
+        emitted_tokens = 0  # generated tokens already vocoded
+        mel_buf = np.zeros((1, cfg.flow.output_size, 0), np.float32)
+        this_hop = hop + prompt_pad
+
+        while True:
+            need_gen = t_fed + hop + la - P
+            step, n_avail, finished = jax.device_get(
+                (state.step, state.lengths[0], state.finished[0])
+            )
+            if need_gen > 0 and int(step) < need_gen and not bool(finished):
+                state = chunk_fn(
+                    self.params["llm"], state, pl, min_a, max_a, jnp.asarray(need_gen)
+                )
+                step, n_avail, finished = jax.device_get(
+                    (state.step, state.lengths[0], state.finished[0])
+                )
+            have = P + int(n_avail)
+            if have < t_fed + hop + la or t_fed + hop > self.stream_max_tokens:
+                if bool(finished) or int(step) >= state.tokens.shape[1] \
+                        or t_fed + hop > self.stream_max_tokens:
+                    break  # final partial chunk via full recompute
+                continue
+            tok = combined(t_fed, hop)[None]
+            ctx = combined(t_fed + hop, la)[None]
+            cond = np.zeros((1, hop * ratio, cfg.flow.output_size), np.float32)
+            lo = t_fed * ratio
+            if lo < prompt_mel:
+                take = min(hop * ratio, prompt_mel - lo)
+                cond[0, :take] = prompt.prompt_feat[lo : lo + take]
+            with self.timer.stage("flow_chunk"):
+                mel, fstate = flow_fn(
+                    sparams, fstate, jnp.asarray(tok), jnp.asarray(ctx),
+                    jnp.asarray(prompt.embedding[None]), jnp.asarray(cond),
+                )
+                mel = np.asarray(mel)
+            # keep only generated-region mel
+            start = max(0, prompt_mel - t_fed * ratio)
+            mel_buf = np.concatenate([mel_buf, mel[:, :, start:]], axis=2)
+            t_fed += hop
+            while mel_buf.shape[2] >= this_hop * ratio:
+                chunk_mel = mel_buf[:, :, : this_hop * ratio]
+                mel_buf = mel_buf[:, :, this_hop * ratio :]
+                audio = self._hift_chunk(chunk_mel, session, finalize=False)
+                emitted_tokens += this_hop
+                this_hop = hop
+                yield audio
+
+        final_tokens = np.asarray(state.tokens)[0, : int(state.lengths[0])]
+        yield self._token2wav(
+            final_tokens, prompt, emitted_tokens, session, False, True, speed
+        )
 
     def tts_batch(
         self,
