@@ -94,7 +94,7 @@ def solve_euler_cfg(
     x = z
     for step in range(1, len(t_span)):
         t_cur = t_span[step - 1]
-        dt = t_span[step] - t_span[step - 1]
+        dt = float(t_span[step] - t_span[step - 1])
         x_in = jnp.concatenate([x, x], axis=0)
         t_in = jnp.full((2 * b,), t_cur, x.dtype)
         dphi = estimator_forward(
@@ -103,7 +103,9 @@ def solve_euler_cfg(
         )
         dphi_c, dphi_u = dphi[:b], dphi[b:]
         v = (1.0 + rate) * dphi_c - rate * dphi_u
-        x = x + dt * v
+        # keep the Euler state in the compute dtype (a numpy-scalar dt would
+        # silently promote everything to fp32)
+        x = (x + jnp.asarray(dt, x.dtype) * v).astype(z.dtype)
     return x
 
 

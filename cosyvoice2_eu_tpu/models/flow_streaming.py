@@ -378,7 +378,7 @@ def _estimator_chunk(params, cfg: FlowConfig, state: FlowStreamState, x_new, mu_
         dphi = conv1d(ep["final_proj"], h)
         dphi_c, dphi_u = dphi[:b], dphi[b:]
         vfield = (1.0 + rate) * dphi_c - rate * dphi_u
-        x = x + dt * vfield
+        x = (x + jnp.asarray(float(dt), x.dtype) * vfield).astype(x_new.dtype)
 
     state = state._replace(est_k=est_k, est_v=est_v, conv_tails=tails)
     return x, state
