@@ -68,6 +68,7 @@ class TTSModel:
         self.cached_stream = cached_stream
         self.stream_max_tokens = stream_max_tokens
         self._stream_params = None  # lazily built rel-pos tables
+        self._primed_cache: dict = {}  # prompt -> primed FlowStreamState
         # bf16 inference for the LM and flow (weights stream from HBM at half
         # the bytes; MXU-native dtype); HiFT stays fp32 — its phase/cumsum and
         # iSTFT numerics do not tolerate bf16.
@@ -180,8 +181,8 @@ class TTSModel:
             )
         return self._stream_params
 
-    @functools.lru_cache(maxsize=4)
-    def _flow_chunk_fn(self, hop: int):
+    @functools.lru_cache(maxsize=16)
+    def _flow_chunk_fn(self, n: int):
         from cosyvoice2_eu_tpu.models.flow_streaming import flow_chunk
 
         def fn(sparams, state, tok, ctx, emb, cond):
@@ -189,6 +190,19 @@ class TTSModel:
 
         # donate the (large) cache state so each chunk updates in place
         return jax.jit(fn, donate_argnums=(1,))
+
+    # feed sizes for priming the prompt through the cached flow: fewest
+    # dispatches while keeping a small compiled-program set
+    PRIME_SIZES = (400, 200, 100, 50, 25)
+
+    def _decompose_feed(self, n: int) -> list:
+        out = []
+        for s in self.PRIME_SIZES:
+            while n >= s:
+                out.append(s)
+                n -= s
+        assert n == 0
+        return out
 
     @functools.lru_cache(maxsize=64)
     def _hift_fn(self, mel_bucket: int, with_cache: bool):
@@ -429,16 +443,12 @@ class TTSModel:
 
         dtype = self.params["flow"]["input_embedding"]["weight"].dtype
         sparams = self._get_stream_params()
-        fstate = init_flow_stream_state(
-            cfg.flow, self.stream_max_tokens, dtype=dtype
-        )
-        flow_fn = self._flow_chunk_fn(hop)
         chunk_fn = self._lm_chunk_fn(p_bucket)
         min_a, max_a = jnp.asarray([min_len]), jnp.asarray([max_len])
         pl = jnp.asarray([prompt_len])
 
-        # fused prefill + enough tokens for the first feed
-        first_gen_needed = max(hop + la - P, 1)
+        # fused LM prefill + enough tokens for the first flow feed
+        first_gen_needed = max(hop + prompt_pad + la, 1)
         state = self._lm_prefill_chunk_fn(p_bucket, max_gen)(
             self.params["llm"], jnp.asarray(ids), jnp.asarray(src), pl,
             min_a, max_a, self._next_rng(), jnp.asarray(first_gen_needed),
@@ -453,13 +463,52 @@ class TTSModel:
                 out[k] = prompt.flow_prompt_speech_tokens[i] if i < P else gen[i - P]
             return out
 
-        t_fed = 0
+        def feed(fstate, t_fed, n):
+            """One cached-flow feed of n tokens starting at t_fed."""
+            tok = combined(t_fed, n)[None]
+            ctx = combined(t_fed + n, la)[None]
+            cond = np.zeros((1, n * ratio, cfg.flow.output_size), np.float32)
+            lo = t_fed * ratio
+            if lo < prompt_mel:
+                take = min(n * ratio, prompt_mel - lo)
+                cond[0, :take] = prompt.prompt_feat[lo : lo + take]
+            with self.timer.stage(f"flow_chunk[{n}]"):
+                mel, fstate = self._flow_chunk_fn(n)(
+                    sparams, fstate, jnp.asarray(tok), jnp.asarray(ctx),
+                    jnp.asarray(prompt.embedding[None]), jnp.asarray(cond),
+                )
+            return np.asarray(mel), fstate
+
+        # ---- prompt priming (cached per prompt) ----
+        # Feed all full prompt chunks once, snapshot the state; later requests
+        # with the same prompt clone the snapshot (prompt reuse is the serving
+        # common case: add_zero_shot_spk / cached speakers).
+        prompt_only = (P // hop) * hop
+        if prompt_only and P - prompt_only < la:
+            prompt_only -= hop  # context for the last prime feed must be prompt tokens
+        pk = (P, prompt.flow_prompt_speech_tokens[: min(P, 16)].tobytes())
+        clone = lambda st: jax.tree.map(jnp.copy, st)
+        if pk in self._primed_cache:
+            fstate = clone(self._primed_cache[pk])
+        else:
+            fstate = init_flow_stream_state(cfg.flow, self.stream_max_tokens, dtype=dtype)
+            t = 0
+            for n in self._decompose_feed(prompt_only):
+                _, fstate = feed(fstate, t, n)  # prompt-only mel discarded
+                t += n
+            if len(self._primed_cache) >= 4:  # bound HBM held by snapshots
+                self._primed_cache.pop(next(iter(self._primed_cache)))
+            self._primed_cache[pk] = clone(fstate)
+        t_fed = prompt_only
+
         emitted_tokens = 0  # generated tokens already vocoded
         mel_buf = np.zeros((1, cfg.flow.output_size, 0), np.float32)
         this_hop = hop + prompt_pad
+        # the boundary feed joins the prompt remainder with the first hop
+        next_feed = (P - prompt_only) + prompt_pad + hop
 
         while True:
-            need_gen = t_fed + hop + la - P
+            need_gen = t_fed + next_feed + la - P
             step, n_avail, finished = jax.device_get(
                 (state.step, state.lengths[0], state.finished[0])
             )
@@ -471,28 +520,17 @@ class TTSModel:
                     (state.step, state.lengths[0], state.finished[0])
                 )
             have = P + int(n_avail)
-            if have < t_fed + hop + la or t_fed + hop > self.stream_max_tokens:
+            if have < t_fed + next_feed + la or t_fed + next_feed > self.stream_max_tokens:
                 if bool(finished) or int(step) >= state.tokens.shape[1] \
-                        or t_fed + hop > self.stream_max_tokens:
+                        or t_fed + next_feed > self.stream_max_tokens:
                     break  # final partial chunk via full recompute
                 continue
-            tok = combined(t_fed, hop)[None]
-            ctx = combined(t_fed + hop, la)[None]
-            cond = np.zeros((1, hop * ratio, cfg.flow.output_size), np.float32)
-            lo = t_fed * ratio
-            if lo < prompt_mel:
-                take = min(hop * ratio, prompt_mel - lo)
-                cond[0, :take] = prompt.prompt_feat[lo : lo + take]
-            with self.timer.stage("flow_chunk"):
-                mel, fstate = flow_fn(
-                    sparams, fstate, jnp.asarray(tok), jnp.asarray(ctx),
-                    jnp.asarray(prompt.embedding[None]), jnp.asarray(cond),
-                )
-                mel = np.asarray(mel)
+            mel, fstate = feed(fstate, t_fed, next_feed)
             # keep only generated-region mel
             start = max(0, prompt_mel - t_fed * ratio)
             mel_buf = np.concatenate([mel_buf, mel[:, :, start:]], axis=2)
-            t_fed += hop
+            t_fed += next_feed
+            next_feed = hop
             while mel_buf.shape[2] >= this_hop * ratio:
                 chunk_mel = mel_buf[:, :, : this_hop * ratio]
                 mel_buf = mel_buf[:, :, this_hop * ratio :]
