@@ -454,10 +454,12 @@ class TTSModel:
             min_a, max_a, self._next_rng(), jnp.asarray(first_gen_needed),
         )
 
+        gen_cache = {"arr": np.zeros(0, np.int32)}
+
         def combined(i0, n):
             """tokens [i0, i0+n) of prompt ++ generated (host view)."""
             out = np.zeros(n, np.int32)
-            gen = np.asarray(state.tokens)[0]
+            gen = gen_cache["arr"]
             for k in range(n):
                 i = i0 + k
                 out[k] = prompt.flow_prompt_speech_tokens[i] if i < P else gen[i - P]
@@ -465,6 +467,8 @@ class TTSModel:
 
         def feed(fstate, t_fed, n):
             """One cached-flow feed of n tokens starting at t_fed."""
+            if t_fed + n + la > P:  # one fetch covers tok + ctx
+                gen_cache["arr"] = np.asarray(state.tokens)[0]
             tok = combined(t_fed, n)[None]
             ctx = combined(t_fed + n, la)[None]
             cond = np.zeros((1, n * ratio, cfg.flow.output_size), np.float32)
@@ -507,11 +511,13 @@ class TTSModel:
         # the boundary feed joins the prompt remainder with the first hop
         next_feed = (P - prompt_only) + prompt_pad + hop
 
+        # LM progress scalars are only refreshed after decode calls (each
+        # device_get is an RPC round trip on the axon tunnel)
+        step, n_avail, finished = jax.device_get(
+            (state.step, state.lengths[0], state.finished[0])
+        )
         while True:
             need_gen = t_fed + next_feed + la - P
-            step, n_avail, finished = jax.device_get(
-                (state.step, state.lengths[0], state.finished[0])
-            )
             if need_gen > 0 and int(step) < need_gen and not bool(finished):
                 state = chunk_fn(
                     self.params["llm"], state, pl, min_a, max_a, jnp.asarray(need_gen)
