@@ -191,6 +191,36 @@ class TTSModel:
         # donate the (large) cache state so each chunk updates in place
         return jax.jit(fn, donate_argnums=(1,))
 
+    @functools.lru_cache(maxsize=8)
+    def _first_chunk_fused_fn(self, n_feed: int, emit_frames: int):
+        """Fused boundary-feed + first HiFT chunk: one dispatch for TTFA.
+
+        Valid only for the session's first emission (no hift cache yet); the
+        feed's kept mel is exactly emit_frames = this_hop * ratio by the
+        prompt-pad alignment."""
+        from cosyvoice2_eu_tpu.models.flow_streaming import flow_chunk
+
+        cfg = self.cfg
+        h_bucket = bucket_for(emit_frames, buckets=(64, 128, 256, 512))
+
+        def fn(sparams, fstate, tok, ctx, emb, cond, hift_params, rng):
+            mel, fstate = flow_chunk(sparams, cfg.flow, fstate, tok, ctx, emb, cond)
+            emit = mel[:, :, mel.shape[2] - emit_frames :]
+            mel_in = jnp.concatenate(
+                [emit, jnp.repeat(emit[:, :, -1:], h_bucket - emit_frames, axis=2)],
+                axis=2,
+            )
+            audio, source = hift_inference(hift_params, cfg.hift, mel_in, rng)
+            n_samples = emit_frames * cfg.hift.upsample_scale
+            return (
+                fstate,
+                audio[:, :n_samples],
+                source[:, :, :n_samples],
+                emit,
+            )
+
+        return jax.jit(fn, donate_argnums=(1,))
+
     # feed sizes for priming the prompt through the cached flow: fewest
     # dispatches while keeping a small compiled-program set
     PRIME_SIZES = (400, 200, 100, 50, 25)
@@ -530,6 +560,38 @@ class TTSModel:
                 if bool(finished) or int(step) >= state.tokens.shape[1] \
                         or t_fed + next_feed > self.stream_max_tokens:
                     break  # final partial chunk via full recompute
+                continue
+            if emitted_tokens == 0 and session["hift_cache"] is None \
+                    and mel_buf.shape[2] == 0:
+                # first emission: fused flow+hift, single dispatch
+                gen_cache["arr"] = np.asarray(state.tokens)[0]
+                tok = combined(t_fed, next_feed)[None]
+                ctx = combined(t_fed + next_feed, la)[None]
+                cond = np.zeros((1, next_feed * ratio, cfg.flow.output_size), np.float32)
+                lo = t_fed * ratio
+                if lo < prompt_mel:
+                    take = min(next_feed * ratio, prompt_mel - lo)
+                    cond[0, :take] = prompt.prompt_feat[lo : lo + take]
+                emit_frames = this_hop * ratio
+                fused = self._first_chunk_fused_fn(next_feed, emit_frames)
+                with self.timer.stage(f"first_chunk_fused[{next_feed}]"):
+                    fstate, audio_d, source_d, emit_d = fused(
+                        sparams, fstate, jnp.asarray(tok), jnp.asarray(ctx),
+                        jnp.asarray(prompt.embedding[None]), jnp.asarray(cond),
+                        self.params["hift"], self._next_rng(),
+                    )
+                    audio, source, emit = jax.device_get((audio_d, source_d, emit_d))
+                audio = audio[0]
+                session["hift_cache"] = {
+                    "mel": emit[:, :, -self.mel_cache_len :],
+                    "source": source[:, :, -self.source_cache_len :],
+                    "speech": audio[-self.source_cache_len :],
+                }
+                t_fed += next_feed
+                next_feed = hop
+                emitted_tokens += this_hop
+                this_hop = hop
+                yield audio[: -self.source_cache_len]
                 continue
             mel, fstate = feed(fstate, t_fed, next_feed)
             # keep only generated-region mel
