@@ -77,6 +77,17 @@ def main():
     stream_audio = [first] + list(gen)
     stream_dur = sum(len(c) for c in stream_audio) / sr
 
+    # ---- batched synthesis (BASELINE config 2: 20 utterances, varied
+    # prompt speakers, one program) ----
+    prompts = [make_prompt(cfg, np.random.default_rng(100 + i)) for i in range(20)]
+    wavs = model.tts_batch(prompts)  # warmup/compile
+    model._rng = jax.random.key(7)
+    t0 = time.time()
+    wavs = model.tts_batch(prompts)
+    batch_dt = time.time() - t0
+    batch_audio_s = sum(len(w) for w in wavs) / sr
+    batch_rtf = batch_dt / max(batch_audio_s, 1e-9)
+
     print(
         json.dumps(
             {
@@ -87,6 +98,8 @@ def main():
                 "audio_seconds_per_run": round(float(np.mean(durs)), 2),
                 "ttfa_s": round(ttfa, 3),
                 "stream_audio_s": round(stream_dur, 2),
+                "batch20_rtf": round(batch_rtf, 4),
+                "batch20_audio_s": round(batch_audio_s, 1),
                 "warmup_compile_s": round(compile_s, 1),
                 "device": str(jax.devices()[0]),
             }
