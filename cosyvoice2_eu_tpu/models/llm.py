@@ -138,9 +138,16 @@ def lm_decode(
 
     def body(st: DecodeState):
         tok, rng = _sample_tokens(params, cfg, st, prompt_len, min_len, max_len)
-        is_eos = tok >= cfg.eos_token
-        emit = (~st.finished) & (~is_eos)
-        tokens = st.tokens.at[:, st.step].set(jnp.where(emit, tok, 0))
+        # reference semantics (llm.py:707-718): EOS stops; other specials
+        # (fill etc., ids > eos) are fed back but never emitted
+        is_eos = tok == cfg.eos_token
+        is_special = tok > cfg.eos_token
+        emit = (~st.finished) & (~is_eos) & (~is_special)
+        # compact write at the emission cursor (specials leave no gaps)
+        col = jnp.arange(st.tokens.shape[1], dtype=jnp.int32)[None, :]
+        tokens = jnp.where(
+            emit[:, None] & (col == st.lengths[:, None]), tok[:, None], st.tokens
+        )
         lengths = st.lengths + emit.astype(jnp.int32)
         finished = st.finished | is_eos | (lengths >= max_len)
 
@@ -187,9 +194,16 @@ def lm_decode_chunk(
 
     def body(st: DecodeState):
         tok, rng = _sample_tokens(params, cfg, st, prompt_len, min_len, max_len)
-        is_eos = tok >= cfg.eos_token
-        emit = (~st.finished) & (~is_eos)
-        tokens = st.tokens.at[:, st.step].set(jnp.where(emit, tok, 0))
+        # reference semantics (llm.py:707-718): EOS stops; other specials
+        # (fill etc., ids > eos) are fed back but never emitted
+        is_eos = tok == cfg.eos_token
+        is_special = tok > cfg.eos_token
+        emit = (~st.finished) & (~is_eos) & (~is_special)
+        # compact write at the emission cursor (specials leave no gaps)
+        col = jnp.arange(st.tokens.shape[1], dtype=jnp.int32)[None, :]
+        tokens = jnp.where(
+            emit[:, None] & (col == st.lengths[:, None]), tok[:, None], st.tokens
+        )
         lengths = st.lengths + emit.astype(jnp.int32)
         finished = st.finished | is_eos | (lengths >= max_len)
         recent = jnp.where(

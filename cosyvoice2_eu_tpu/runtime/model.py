@@ -435,9 +435,10 @@ class TTSModel:
             step, n_avail, finished = jax.device_get(
                 (state.step, state.lengths[0], state.finished[0])
             )
-            if int(step) < need and not bool(finished):
+            if int(n_avail) < need and not bool(finished):
+                target = int(step) + (need - int(n_avail))
                 state = chunk_fn(
-                    self.params["llm"], state, pl, min_a, max_a, jnp.asarray(need)
+                    self.params["llm"], state, pl, min_a, max_a, jnp.asarray(target)
                 )
                 step, n_avail, finished = jax.device_get(
                     (state.step, state.lengths[0], state.finished[0])
@@ -548,9 +549,11 @@ class TTSModel:
         )
         while True:
             need_gen = t_fed + next_feed + la - P
-            if need_gen > 0 and int(step) < need_gen and not bool(finished):
+            if need_gen > 0 and int(n_avail) < need_gen and not bool(finished):
+                # target in steps: specials consume steps without emitting
+                target = int(step) + (need_gen - int(n_avail))
                 state = chunk_fn(
-                    self.params["llm"], state, pl, min_a, max_a, jnp.asarray(need_gen)
+                    self.params["llm"], state, pl, min_a, max_a, jnp.asarray(target)
                 )
                 step, n_avail, finished = jax.device_get(
                     (state.step, state.lengths[0], state.finished[0])
@@ -674,13 +677,24 @@ class TTSModel:
             seg = mel[i, :, int(feat_len[i]) : totals[i] * ratio]
             mel_in[i, :, : seg.shape[1]] = seg
             mel_in[i, :, seg.shape[1] :] = seg[:, -1:]
+        # the vocoder's activations are ~1 GB per long row at fp32 — sub-batch
+        # to stay inside HBM at large batch sizes
         hift_fn = self._hift_fn(h_bucket, True)
-        cache = np.zeros((n, 1, self.source_cache_len), np.float32)
-        audio, _ = hift_fn(
-            self.params["hift"], jnp.asarray(mel_in), self._next_rng(),
-            jnp.asarray(cache), jnp.asarray(0),
-        )
-        audio = np.asarray(audio)
+        sub = max(1, min(n, int(4 * 2048 / max(h_bucket, 1))))
+        audio_rows = []
+        for lo in range(0, n, sub):
+            hi = min(lo + sub, n)
+            pad_rows = sub - (hi - lo)
+            mel_g = mel_in[lo:hi]
+            if pad_rows:
+                mel_g = np.concatenate([mel_g, mel_g[-1:].repeat(pad_rows, 0)], axis=0)
+            cache = np.zeros((sub, 1, self.source_cache_len), np.float32)
+            audio, _ = hift_fn(
+                self.params["hift"], jnp.asarray(mel_g), self._next_rng(),
+                jnp.asarray(cache), jnp.asarray(0),
+            )
+            audio_rows.append(np.asarray(audio)[: hi - lo])
+        audio = np.concatenate(audio_rows, axis=0)
         return [audio[i, : mel_lens[i] * cfg.hift.upsample_scale] for i in range(n)]
 
     def vc(
