@@ -86,6 +86,14 @@ class Cosy2EU:
                 )
             return self._prompt_cache[key]
         if isinstance(prompt, dict):
+            missing = {"prompt_feat", "speech_tokens", "embedding"} - prompt.keys()
+            if missing:
+                raise ValueError(
+                    f"prompt dict is missing {sorted(missing)}; expected the "
+                    "artifact keys prompt_feat, speech_tokens, embedding "
+                    "(and optionally prompt_text) as produced by "
+                    "Frontend.extract_prompt"
+                )
             return prompt
         return self._frontend.extract_prompt(np.asarray(prompt), prompt_text, **precomputed)
 
