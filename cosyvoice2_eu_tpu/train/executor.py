@@ -25,12 +25,77 @@ from cosyvoice2_eu_tpu.config import TrainConfig
 from cosyvoice2_eu_tpu.runtime.checkpoint import load_pytree, save_pytree
 
 
-def save_checkpoint(model_dir: str, tag: str, params, info: dict) -> str:
+def save_checkpoint(model_dir: str, tag: str, params, info: dict, opt_state=None) -> str:
+    """Persist params (+ optionally optimizer state) with a JSON sidecar.
+
+    Mirrors the reference's save_model (train_utils.py:206-246): the sidecar
+    carries step/epoch/cv_loss for resume and best-N selection.  Unlike
+    round 1, the optimizer state (Adam moments + schedule count) is saved too
+    so resume continues the exact loss/LR trajectory (bin/train.py:420-473).
+    """
     path = os.path.join(model_dir, tag)
     save_pytree(path, jax.device_get(params))
+    if opt_state is not None:
+        save_pytree(path + "-opt", jax.device_get(opt_state))
     with open(path + ".json", "w") as f:
-        json.dump(dict(info, tag=tag, save_time=time.strftime("%d/%m/%Y %H:%M:%S")), f, indent=2)
+        json.dump(
+            dict(
+                info,
+                tag=tag,
+                has_opt=opt_state is not None,
+                save_time=time.strftime("%d/%m/%Y %H:%M:%S"),
+            ),
+            f,
+            indent=2,
+        )
     return path
+
+
+def restore_train_state(model_dir: str, info: dict, state):
+    """Rebuild a TrainState from a checkpoint, preserving shardings.
+
+    `state` is a freshly-initialized (already sharded) TrainState used as the
+    structure/sharding template.  Restores params, optimizer state (when the
+    checkpoint has one; Adam moments and the schedule's internal count resume
+    exactly), and the step counter (reference bin/train.py:420-473 restores
+    step/epoch into the scheduler).
+    """
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    path = os.path.join(model_dir, info["tag"])
+
+    # mesh for replicating leaves whose template placement is a bare default
+    # device (e.g. tx.init scalars): a committed single-device array would
+    # conflict with mesh-sharded params inside the jitted step
+    mesh = next(
+        (
+            leaf.sharding.mesh
+            for leaf in jax.tree.leaves(state.params)
+            if isinstance(getattr(leaf, "sharding", None), NamedSharding)
+        ),
+        None,
+    )
+
+    def _put(t, r):
+        r = jnp.asarray(r, getattr(t, "dtype", None))
+        if isinstance(getattr(t, "sharding", None), NamedSharding):
+            return jax.device_put(r, t.sharding)
+        if mesh is not None:
+            return jax.device_put(r, NamedSharding(mesh, PartitionSpec()))
+        return r
+
+    def _replace(template, restored):
+        return jax.tree.map(_put, template, restored)
+
+    params = _replace(state.params, load_pytree(path, jax.device_get(state.params)))
+    opt_state = state.opt_state
+    if info.get("has_opt"):
+        opt_state = _replace(
+            state.opt_state, load_pytree(path + "-opt", jax.device_get(state.opt_state))
+        )
+    step = jnp.asarray(info.get("step", 0), jnp.int32)
+    return type(state)(params, opt_state, step)
 
 
 def list_checkpoints(model_dir: str) -> list[dict]:
@@ -117,12 +182,16 @@ class Executor:
                 save_checkpoint(
                     self.model_dir, tag, state.params,
                     {"epoch": self.epoch, "step": self.step, "cv_loss": cv_loss},
+                    opt_state=state.opt_state,
                 )
                 logging.info("saved %s cv_loss=%.4f", tag, cv_loss)
         # end of epoch
         info = {"epoch": self.epoch, "step": self.step}
         if cv_batches is not None:
             info["cv_loss"] = self.cross_validate(state, cv_batches)
-        save_checkpoint(self.model_dir, f"epoch_{self.epoch}_whole", state.params, info)
+        save_checkpoint(
+            self.model_dir, f"epoch_{self.epoch}_whole", state.params, info,
+            opt_state=state.opt_state,
+        )
         self.epoch += 1
         return state

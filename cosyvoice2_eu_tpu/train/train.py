@@ -26,18 +26,21 @@ import numpy as np
 from cosyvoice2_eu_tpu.config import TrainConfig, TTSConfig
 from cosyvoice2_eu_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
 from cosyvoice2_eu_tpu.parallel.train_step import (
-    TrainState,
     init_train_state,
     make_flow_train_step,
     make_lm_train_step,
     lm_loss_fn,
     flow_loss_fn,
 )
+from cosyvoice2_eu_tpu.parallel.distributed import init_distributed
 from cosyvoice2_eu_tpu.train import dataset as ds
-from cosyvoice2_eu_tpu.train.executor import Executor, latest_checkpoint
+from cosyvoice2_eu_tpu.train.executor import (
+    Executor,
+    latest_checkpoint,
+    restore_train_state,
+)
 from cosyvoice2_eu_tpu.train.optim import make_optimizer
 from cosyvoice2_eu_tpu.train.sequences import build_lm_batch
-from cosyvoice2_eu_tpu.runtime.checkpoint import load_pytree
 
 
 def read_list(path: str) -> list[str]:
@@ -95,6 +98,10 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
+    # multi-host bring-up (no-op on a single host): rank/world shard the
+    # data pipeline exactly like the reference's DistributedSampler
+    # (dataset/dataset.py:51-104 shards by rank then dataloader worker)
+    rank, world = init_distributed()
     cfg = TTSConfig()
     train_cfg = TrainConfig()
     if args.lr:
@@ -127,14 +134,14 @@ def main(argv=None):
 
         def train_iter(epoch):
             for b in lm_batches(
-                read_list(args.train_data), tokenizer, mel_fn, cfg, 0, 1, epoch, rng,
-                args.max_frames_in_batch,
+                read_list(args.train_data), tokenizer, mel_fn, cfg, rank, world,
+                epoch, rng, args.max_frames_in_batch,
             ):
                 yield shard_batch({k: jnp.asarray(v) for k, v in b.items()}, mesh)
 
         def cv_iter():
             for b in lm_batches(
-                read_list(args.cv_data), tokenizer, mel_fn, cfg, 0, 1, 0, rng,
+                read_list(args.cv_data), tokenizer, mel_fn, cfg, rank, world, 0, rng,
                 args.max_frames_in_batch,
             ):
                 yield shard_batch({k: jnp.asarray(v) for k, v in b.items()}, mesh)
@@ -157,7 +164,7 @@ def main(argv=None):
         )
 
         def flow_batches(paths, epoch):
-            for b in ds.build_pipeline(paths, tokenizer, mel_fn, 0, 1, epoch,
+            for b in ds.build_pipeline(paths, tokenizer, mel_fn, rank, world, epoch,
                                        max_frames_in_batch=args.max_frames_in_batch):
                 if "speech_token" not in b or "embedding" not in b:
                     continue
@@ -181,23 +188,24 @@ def main(argv=None):
         params = shard_params(params, mesh)
         state = init_train_state(params, tx)
 
-        if args.resume:
-            info = latest_checkpoint(args.model_dir)
-            if info:
-                logging.info("resuming from %s", info["tag"])
-                restored = load_pytree(
-                    os.path.join(args.model_dir, info["tag"]), jax.device_get(state.params)
-                )
-                state = TrainState(
-                    shard_params(restored, mesh), state.opt_state,
-                    jnp.asarray(info.get("step", 0), jnp.int32),
-                )
-
         executor = Executor(
             train_cfg, step_fn, cv_fn, args.model_dir,
             log_fn=make_logger(args.tensorboard_dir or os.path.join(args.model_dir, "tb")),
         )
-        for epoch in range(max_epoch):
+        start_epoch = 0
+        if args.resume:
+            info = latest_checkpoint(args.model_dir)
+            if info:
+                logging.info("resuming from %s", info["tag"])
+                # full resume: params + optimizer moments + schedule count +
+                # step/epoch (reference bin/train.py:420-473)
+                state = restore_train_state(args.model_dir, info, state)
+                executor.step = int(info.get("step", 0))
+                start_epoch = int(info.get("epoch", 0))
+                if info["tag"].endswith("_whole"):
+                    start_epoch += 1
+
+        for epoch in range(start_epoch, max_epoch):
             executor.epoch = epoch
             state = executor.train_epoch(state, train_iter(epoch), cv_iter())
 

@@ -74,6 +74,25 @@ def test_rank_sharding():
     assert set(a) != set(a2) or a != a2
 
 
+def test_pipeline_rank_disjointness(shards):
+    """Per-rank utterance disjointness through the real pipeline path the
+    train CLI uses (rank/world now wired from init_distributed)."""
+
+    def utts(rank):
+        out = set()
+        for b in ds.build_pipeline(
+            shards, ByteFallbackTokenizer(), _mel_fn,
+            rank=rank, world_size=2, epoch=0, max_frames_in_batch=400,
+            shuffle_size=8, sort_size=4,
+        ):
+            out.update(b["utts"])
+        return out
+
+    a, b = utts(0), utts(1)
+    assert a and b
+    assert not (a & b)
+
+
 def test_gan_pipeline_has_pitch(shards):
     batches = list(
         ds.build_pipeline(

@@ -93,6 +93,69 @@ def test_lm_train_step_sharded(fsdp):
     assert not np.allclose(w_after, w_before)
 
 
+def test_resume_continues_exact_trajectory(tmp_path):
+    """3 steps -> full checkpoint -> resume == 6 uninterrupted steps.
+
+    Pins the round-2 resume semantics (reference bin/train.py:420-473):
+    optimizer moments AND the LR schedule's internal count must survive a
+    checkpoint/restore, so the loss trajectory after resume is identical to
+    an uninterrupted run.  warmuplr makes the LR step-dependent, so a resume
+    that reset the schedule count would diverge from step 4 on.
+    """
+    from cosyvoice2_eu_tpu.train.executor import (
+        latest_checkpoint,
+        restore_train_state,
+        save_checkpoint,
+    )
+
+    mesh = make_mesh(dp=8, fsdp=1)
+    cfg = CFG.llm
+    train_cfg = TrainConfig(lr=1e-3, scheduler="warmuplr", warmup_steps=10, accum_grad=1)
+    tx = make_optimizer(train_cfg)
+    step_fn = make_lm_train_step(cfg, train_cfg, tx)
+
+    rng = np.random.default_rng(7)
+    batches = []
+    for _ in range(6):
+        texts = [rng.integers(2, 100, 6).astype(np.int32) for _ in range(8)]
+        speeches = [
+            rng.integers(0, cfg.speech_token_size, 20).astype(np.int32) for _ in range(8)
+        ]
+        batches.append(build_lm_batch(texts, speeches, cfg, rng, pad_to=64))
+
+    def run(state, bs):
+        losses = []
+        for b in bs:
+            sb = shard_batch({k: jnp.asarray(v) for k, v in b.items()}, mesh)
+            state, m = step_fn(state, sb)
+            losses.append(float(m["loss"]))
+        return state, losses
+
+    with mesh:
+        # uninterrupted 6-step run
+        params = shard_params(init_lm(jax.random.key(0), cfg), mesh)
+        _, losses_all = run(init_train_state(params, tx), batches)
+
+        # 3 steps, checkpoint with optimizer state
+        params = shard_params(init_lm(jax.random.key(0), cfg), mesh)
+        state_a, losses_a = run(init_train_state(params, tx), batches[:3])
+        save_checkpoint(
+            str(tmp_path), "epoch_0_step_3", state_a.params,
+            {"epoch": 0, "step": 3}, opt_state=state_a.opt_state,
+        )
+
+        # fresh-process resume: different init key proves restore really loads
+        params_b = shard_params(init_lm(jax.random.key(99), cfg), mesh)
+        state_b = init_train_state(params_b, tx)
+        info = latest_checkpoint(str(tmp_path))
+        assert info is not None and info["has_opt"]
+        state_b = restore_train_state(str(tmp_path), info, state_b)
+        assert int(state_b.step) == 3
+        _, losses_b = run(state_b, batches[3:])
+
+    np.testing.assert_allclose(losses_a + losses_b, losses_all, rtol=1e-6)
+
+
 def test_flow_train_step():
     mesh = make_mesh(dp=8, fsdp=1)
     cfg = CFG.flow
