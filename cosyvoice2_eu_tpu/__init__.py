@@ -216,10 +216,39 @@ def load(
         }
         tokenizer = get_tokenizer("")
 
+    # frontend aux models: converted from the reference's ONNX binaries when
+    # present in model_dir (speech_tokenizer_v2.onnx / campplus.onnx,
+    # reference cli/frontend.py:190-197)
+    speech_tokenizer_fn = spk_embedding_fn = None
+    if model_dir is not None:
+        from cosyvoice2_eu_tpu.frontend.frontend import (
+            make_speech_tokenizer_fn,
+            make_spk_embedding_fn,
+        )
+        from cosyvoice2_eu_tpu.runtime.onnx_convert import (
+            convert_campplus,
+            convert_speech_tokenizer,
+        )
+        from cosyvoice2_eu_tpu.runtime.onnx_import import load_onnx
+
+        st_path = os.path.join(model_dir, "speech_tokenizer_v2.onnx")
+        if os.path.exists(st_path):
+            st_params, st_cfg = convert_speech_tokenizer(load_onnx(st_path))
+            speech_tokenizer_fn = make_speech_tokenizer_fn(st_params, st_cfg)
+        cam_path = os.path.join(model_dir, "campplus.onnx")
+        if os.path.exists(cam_path):
+            cam_params, cam_cfg = convert_campplus(load_onnx(cam_path))
+            spk_embedding_fn = make_spk_embedding_fn(cam_params, cam_cfg)
+
     if isinstance(compute_dtype, str):
         import jax.numpy as jnp
 
         compute_dtype = None if compute_dtype in ("float32", "none") else getattr(jnp, compute_dtype)
     model = TTSModel(cfg, params, seed=seed, compute_dtype=compute_dtype, lm_quant=lm_quant)
-    frontend = Frontend(cfg, tokenizer=tokenizer)
+    frontend = Frontend(
+        cfg,
+        tokenizer=tokenizer,
+        speech_tokenizer_fn=speech_tokenizer_fn,
+        spk_embedding_fn=spk_embedding_fn,
+    )
     return Cosy2EU(model, frontend, cfg)

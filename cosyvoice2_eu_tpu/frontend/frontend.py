@@ -221,7 +221,8 @@ def make_speech_tokenizer_fn(params, cfg=None):
     def fn(wav_16k: np.ndarray) -> np.ndarray:
         assert len(wav_16k) <= 30 * 16000, "prompt must be <= 30 s"
         mel = whisper_log_mel(jnp.asarray(wav_16k[None]), n_mels=cfg.n_mels)
-        t = mel.shape[-1] - mel.shape[-1] % 4  # 4x downsample alignment
+        ds = cfg.downsample
+        t = mel.shape[-1] - mel.shape[-1] % ds  # downsample alignment
         codes, code_len = encode(mel[:, :, :t], jnp.asarray([t]))
         return np.asarray(codes)[0, : int(code_len[0])]
 

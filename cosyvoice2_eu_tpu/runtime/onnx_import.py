@@ -10,8 +10,10 @@ onto the JAX ports in models/speech_tokenizer.py and models/campplus.py.
 Implements just the protobuf subset ONNX uses: varints, length-delimited
 submessages, repeated packed ints.  Field numbers follow onnx.proto3:
   ModelProto.graph = 7
-  GraphProto.node = 1, .initializer = 5
-  NodeProto.input = 1, .output = 2, .op_type = 4
+  GraphProto.node = 1, .initializer = 5, .input = 11, .output = 12
+  NodeProto.input = 1, .output = 2, .op_type = 4, .attribute = 5
+  AttributeProto.name = 1, .f = 2, .i = 3, .s = 4, .t = 5, .floats = 7,
+             .ints = 8
   TensorProto.dims = 1, .data_type = 2, .float_data = 4, .int64_data = 7,
              .name = 8, .raw_data = 9
 """
@@ -108,8 +110,51 @@ def _parse_tensor(buf: bytes) -> Tuple[str, np.ndarray]:
     return name, arr
 
 
+def _signed64(v: int) -> int:
+    """Protobuf int64 varints are two's-complement; recover the sign."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _parse_attribute(buf: bytes) -> Tuple[str, object]:
+    """AttributeProto -> (name, value); value is float/int/bytes/ndarray/list."""
+    name = ""
+    f_val = i_val = s_val = t_val = None
+    floats: list[float] = []
+    ints: list[int] = []
+    for field, wtype, val in _fields(buf):
+        if field == 1 and wtype == 2:
+            name = val.decode("utf-8", errors="replace")
+        elif field == 2 and wtype == 5:
+            f_val = struct.unpack("<f", val)[0]
+        elif field == 3 and wtype == 0:
+            i_val = _signed64(val)
+        elif field == 4 and wtype == 2:
+            s_val = val
+        elif field == 5 and wtype == 2:
+            t_val = _parse_tensor(val)[1]
+        elif field == 7:  # floats
+            if wtype == 5:
+                floats.append(struct.unpack("<f", val)[0])
+            else:
+                floats.extend(struct.unpack(f"<{len(val) // 4}f", val))
+        elif field == 8:  # ints
+            if wtype == 0:
+                ints.append(_signed64(val))
+            else:
+                pos = 0
+                while pos < len(val):
+                    v, pos = _read_varint(val, pos)
+                    ints.append(_signed64(v))
+    for v in (t_val, f_val, i_val, s_val):
+        if v is not None:
+            return name, v
+    if floats:
+        return name, floats
+    return name, ints
+
+
 def _parse_node(buf: bytes) -> dict:
-    node = {"input": [], "output": [], "op_type": "", "name": ""}
+    node = {"input": [], "output": [], "op_type": "", "name": "", "attrs": {}}
     for field, wtype, val in _fields(buf):
         if field == 1 and wtype == 2:
             node["input"].append(val.decode("utf-8", errors="replace"))
@@ -119,11 +164,23 @@ def _parse_node(buf: bytes) -> dict:
             node["name"] = val.decode("utf-8", errors="replace")
         elif field == 4 and wtype == 2:
             node["op_type"] = val.decode("utf-8", errors="replace")
+        elif field == 5 and wtype == 2:
+            k, v = _parse_attribute(val)
+            node["attrs"][k] = v
     return node
 
 
+def _value_info_name(buf: bytes) -> str:
+    for field, wtype, val in _fields(buf):
+        if field == 1 and wtype == 2:
+            return val.decode("utf-8", errors="replace")
+    return ""
+
+
 def load_onnx(path: str) -> dict:
-    """Returns {'initializers': {name: np.ndarray}, 'nodes': [node dicts]}."""
+    """Returns {'initializers': {name: ndarray}, 'nodes': [node dicts],
+    'inputs': [names], 'outputs': [names]} (graph inputs minus initializers
+    are the runtime feeds)."""
     with open(path, "rb") as f:
         model = f.read()
     graph = None
@@ -133,10 +190,21 @@ def load_onnx(path: str) -> dict:
             break
     assert graph is not None, "no GraphProto found (field 7)"
     initializers, nodes = {}, []
+    inputs, outputs = [], []
     for field, wtype, val in _fields(graph):
         if field == 5 and wtype == 2:
             name, arr = _parse_tensor(val)
             initializers[name] = arr
         elif field == 1 and wtype == 2:
             nodes.append(_parse_node(val))
-    return {"initializers": initializers, "nodes": nodes}
+        elif field == 11 and wtype == 2:
+            inputs.append(_value_info_name(val))
+        elif field == 12 and wtype == 2:
+            outputs.append(_value_info_name(val))
+    inputs = [n for n in inputs if n not in initializers]
+    return {
+        "initializers": initializers,
+        "nodes": nodes,
+        "inputs": inputs,
+        "outputs": outputs,
+    }
