@@ -158,6 +158,81 @@ class Cosy2EU:
         art = self._prepare(prompt, prompt_text)
         return self._frontend.add_zero_shot_spk(spk_id, art)
 
+    def stream_text(
+        self,
+        text_iter,
+        prompt,
+        *,
+        prompt_text: str = "",
+        speed: float = 1.0,
+        **precomputed,
+    ) -> Iterator[np.ndarray]:
+        """Streaming TEXT input -> streaming audio output.
+
+        Consumes text pieces as they arrive (e.g. from an upstream LLM) and
+        yields waveform chunks; drives the LM's bistream fill-token protocol
+        (the reference's streaming-text mode, llm/llm.py:721-834)."""
+        prompt_art = self._prepare(prompt, prompt_text, **precomputed)
+        inputs = self._frontend.frontend_zero_shot("", prompt_art)
+
+        def chunks():
+            for piece in text_iter:
+                toks = self._frontend.text_tokens(piece)
+                if len(toks):
+                    yield toks
+
+        for chunk in self._model.tts_stream_text(chunks(), inputs, speed=speed):
+            yield chunk[None]
+
+
+def resolve_backbone(backbone: Optional[str], model_dir: Optional[str]):
+    """Parse the reference's --backbone surface (cosyvoice.py:183-224).
+
+    Returns (backbone_config | None, tokenizer_dir | None, use_bistream):
+    blanken/None keep the default Qwen2-0.5B BlankEN backbone (unistream);
+    'hf:<id-or-path>' / 'local:<path>' / a bare path select an alternative HF
+    backbone — the LM then decodes through the bistream fill-token protocol
+    exactly as the reference routes non-BlankEN backbones (llm.py:575-609).
+    """
+    if backbone in (None, "blanken"):
+        return None, None, False
+    path = backbone.split(":", 1)[1] if backbone.startswith(("hf:", "local:")) else backbone
+    cfg_json = os.path.join(path, "config.json")
+    if os.path.exists(cfg_json):
+        import json
+
+        from cosyvoice2_eu_tpu.config import Qwen2Config
+
+        with open(cfg_json) as f:
+            hf = json.load(f)
+        heads = hf.get("num_attention_heads", 14)
+        bb = Qwen2Config(
+            vocab_size=hf.get("vocab_size", 151936),
+            hidden_size=hf.get("hidden_size", 896),
+            intermediate_size=hf.get("intermediate_size", 4864),
+            num_layers=hf.get("num_hidden_layers", 24),
+            num_heads=heads,
+            num_kv_heads=hf.get("num_key_value_heads", heads),
+            head_dim=hf.get("head_dim", hf.get("hidden_size", 896) // heads),
+            rms_norm_eps=hf.get("rms_norm_eps", 1e-6),
+            rope_theta=hf.get("rope_theta", 1_000_000.0),
+            use_qk_norm=hf.get("model_type", "qwen2") == "qwen3",
+            attention_bias=hf.get(
+                "attention_bias", hf.get("model_type", "qwen2") == "qwen2"
+            ),
+        )
+        return bb, path, True
+    if "qwen3" in path.lower().replace("-", "").replace("_", ""):
+        from cosyvoice2_eu_tpu.config import qwen3_0_6b_config
+
+        # well-known config for the reference's hf:Qwen/Qwen3-0.6B option
+        # (no egress in this environment to fetch config.json)
+        return qwen3_0_6b_config(), None, True
+    raise ValueError(
+        f"cannot resolve backbone {backbone!r}: no config.json at {path} "
+        "(zero-egress environment needs a local checkout)"
+    )
+
 
 def load(
     *,
@@ -168,6 +243,7 @@ def load(
     hifigan_run_id: Optional[str] = None,
     final: Optional[bool] = None,
     config: Optional[TTSConfig] = None,
+    backbone: Optional[str] = None,
     seed: int = 0,
     compute_dtype="bfloat16",
     lm_quant: Optional[str] = None,
@@ -177,12 +253,24 @@ def load(
     model_dir must contain the reference checkpoints (llm.pt/flow.pt/hift.pt
     naming matrix) plus the Qwen tokenizer files.  With model_dir=None a
     random-initialized model is built (smoke tests / benchmarking shapes).
+    backbone selects the LM backbone (blanken | hf:<id> | local:<path>),
+    mirroring the reference CLI (standalone_infer cli.py:64).
     """
+    import dataclasses
+
     from cosyvoice2_eu_tpu.frontend.frontend import Frontend
     from cosyvoice2_eu_tpu.frontend.tokenizer import get_tokenizer
     from cosyvoice2_eu_tpu.runtime.model import TTSModel
 
     cfg = config or TTSConfig()
+    bb_cfg, bb_tokenizer_dir, use_bistream = resolve_backbone(backbone, model_dir)
+    if bb_cfg is not None:
+        cfg = dataclasses.replace(cfg, llm=dataclasses.replace(cfg.llm, backbone=bb_cfg))
+    if bb_tokenizer_dir is not None and not any(
+        os.path.exists(os.path.join(bb_tokenizer_dir, f))
+        for f in ("tokenizer.json", "vocab.json")
+    ):
+        bb_tokenizer_dir = None  # backbone checkout without tokenizer files
     if model_dir is not None:
         from cosyvoice2_eu_tpu.runtime.checkpoint import (
             convert_flow,
@@ -200,7 +288,7 @@ def load(
             "flow": convert_flow(load_torch_state(files["flow"]), cfg.flow),
             "hift": convert_hift(load_torch_state(files["hift"]), cfg.hift),
         }
-        tokenizer = get_tokenizer(model_dir)
+        tokenizer = get_tokenizer(bb_tokenizer_dir or model_dir)
     else:
         import jax
 
@@ -214,7 +302,7 @@ def load(
             "flow": init_flow(k2, cfg.flow),
             "hift": init_hift(k3, cfg.hift),
         }
-        tokenizer = get_tokenizer("")
+        tokenizer = get_tokenizer(bb_tokenizer_dir or "")
 
     # frontend aux models: converted from the reference's ONNX binaries when
     # present in model_dir (speech_tokenizer_v2.onnx / campplus.onnx,
@@ -244,7 +332,10 @@ def load(
         import jax.numpy as jnp
 
         compute_dtype = None if compute_dtype in ("float32", "none") else getattr(jnp, compute_dtype)
-    model = TTSModel(cfg, params, seed=seed, compute_dtype=compute_dtype, lm_quant=lm_quant)
+    model = TTSModel(
+        cfg, params, seed=seed, compute_dtype=compute_dtype, lm_quant=lm_quant,
+        use_bistream=use_bistream,
+    )
     frontend = Frontend(
         cfg,
         tokenizer=tokenizer,

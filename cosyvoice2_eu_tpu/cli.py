@@ -61,6 +61,11 @@ def main(argv=None):
     parser.add_argument("--prompt-text", type=str, default="")
     parser.add_argument("--mode", type=str, default="cross_lingual",
                         choices=["cross_lingual", "zero_shot"])
+    parser.add_argument(
+        "--backbone", type=str, default=None,
+        help="blanken | hf:<id-or-path> | local:<path> (reference cli.py:64); "
+        "non-BlankEN backbones decode via the bistream fill-token protocol",
+    )
     parser.add_argument("--clear-cache", action="store_true")
     args = parser.parse_args(argv)
 
@@ -75,6 +80,7 @@ def main(argv=None):
         flow_run_id=args.flow_run_id,
         hifigan_run_id=args.hifigan_run_id,
         final=args.final or None,
+        backbone=args.backbone,
     )
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)

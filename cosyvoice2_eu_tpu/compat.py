@@ -48,6 +48,7 @@ class CosyVoice2:
             flow_run_id=flow_run_id,
             hifigan_run_id=hifigan_run_id,
             final=final,
+            backbone=backbone,
         )
         self.sample_rate = self._api.sample_rate
         self.frontend = self._api._frontend

@@ -349,7 +349,9 @@ def bs_decode(
 
         is_fill = tok == fill_id
         is_eos = tok == cfg.eos_token
-        emit = (~is_fill) & (~is_eos)
+        # any special id (>= speech_token_size) feeds back but is never
+        # exported (reference llm.py:711-714)
+        emit = tok < cfg.speech_token_size
         out = jnp.where(emit, out.at[n_new].set(tok), out)
         recent = jnp.where(
             emit, jnp.roll(st.recent, -1).at[-1].set(tok), st.recent

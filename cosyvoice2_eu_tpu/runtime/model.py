@@ -59,13 +59,19 @@ class PromptInputs:
 class TTSModel:
     def __init__(self, cfg: TTSConfig, params: dict, seed: int = 0,
                  compute_dtype=jnp.bfloat16, lm_quant: str | None = None,
-                 cached_stream: bool = True, stream_max_tokens: int = 768):
+                 cached_stream: bool = True, stream_max_tokens: int = 768,
+                 use_bistream: bool = False):
         """cached_stream: use the O(T)-per-chunk cached flow for streaming
         (models/flow_streaming.py) instead of the reference's full-prefix
         recompute.  Exact-equality with the recompute is test-verified; the
-        final chunk always uses the reference's finalize path."""
+        final chunk always uses the reference's finalize path.
+
+        use_bistream: route LM decode through the fill-token bistream protocol
+        — the reference does this automatically for non-BlankEN HF backbones
+        (llm.py:575-609); set by load(backbone=...)."""
         self.cfg = cfg
         self.cached_stream = cached_stream
+        self.use_bistream = use_bistream
         self.stream_max_tokens = stream_max_tokens
         self._stream_params = None  # lazily built rel-pos tables
         self._primed_cache: dict = {}  # prompt -> primed FlowStreamState
@@ -388,6 +394,11 @@ class TTSModel:
         speed: float = 1.0,
     ) -> Generator[np.ndarray, None, None]:
         """Yield waveform chunks (float32 at cfg.sample_rate)."""
+        if self.use_bistream:
+            gen = self._bistream_token_gen(prompt)
+            yield from self._wav_from_token_gen(gen, prompt, stream, speed)
+            return
+
         ids, src, prompt_len, p_bucket, min_len, max_len = self._pack_lm_prompt(prompt)
         # round up to a multiple of 64, capped by the KV-cache capacity
         max_gen = min(((max_len + 63) // 64) * 64, self.cfg.llm.max_seq_len - p_bucket)
@@ -453,6 +464,68 @@ class TTSModel:
                 break
         final_tokens = np.asarray(state.tokens)[0, : int(state.lengths[0])]
         yield self._token2wav(final_tokens, prompt, token_offset, session, False, True, speed)
+
+    # ------------------------------------------------------------------
+    # bistream (streaming text input / HF-backbone routing)
+    # ------------------------------------------------------------------
+
+    def _bistream_token_gen(self, prompt: PromptInputs):
+        """Speech-token generator via the fill-token protocol, feeding the
+        (already complete) target text in mix_ratio[0]-token pieces —
+        the reference's HF-backbone routing (llm.py:601-609)."""
+        cfg = self.cfg.llm
+        mt = cfg.mix_ratio[0]
+        text = prompt.text_tokens.astype(np.int32)
+        chunks = (text[i : i + mt] for i in range(0, len(text), mt))
+        return llm_mod.lm_inference_bistream(
+            self.params["llm"], cfg, chunks,
+            prompt.prompt_text_tokens.astype(np.int32),
+            prompt.llm_prompt_speech_tokens.astype(np.int32),
+            self._next_rng(), max_cache=cfg.max_seq_len,
+        )
+
+    def _wav_from_token_gen(
+        self, token_gen, prompt: PromptInputs, stream: bool, speed: float = 1.0,
+    ) -> Generator[np.ndarray, None, None]:
+        """Vocode an incremental speech-token stream on the reference's hop
+        schedule (cli/model.py:353-381), synchronously (no producer thread)."""
+        session: dict = {"hift_cache": None}
+        if not stream:
+            tokens = np.fromiter(token_gen, np.int32)
+            yield self._token2wav(tokens, prompt, 0, session, False, True, speed)
+            return
+        hop, la = self.token_hop_len, self.pre_lookahead_len
+        n_prompt = len(prompt.flow_prompt_speech_tokens)
+        prompt_pad = int(np.ceil(n_prompt / hop) * hop - n_prompt)
+        token_offset = 0
+        buf: list[int] = []
+        for t in token_gen:
+            buf.append(int(t))
+            this_hop = hop + prompt_pad if token_offset == 0 else hop
+            if len(buf) - token_offset >= this_hop + la:
+                chunk = np.asarray(buf[: token_offset + this_hop + la], np.int32)
+                yield self._token2wav(chunk, prompt, token_offset, session, True, False)
+                token_offset += this_hop
+        yield self._token2wav(
+            np.asarray(buf, np.int32), prompt, token_offset, session, False, True, speed
+        )
+
+    def tts_stream_text(
+        self, text_chunks, prompt: PromptInputs, stream: bool = True,
+        speed: float = 1.0,
+    ) -> Generator[np.ndarray, None, None]:
+        """Streaming TEXT input: text token arrays arrive incrementally (e.g.
+        from an upstream LLM) and audio chunks stream out — the bistream
+        fill-token protocol end to end (reference llm.py:721-834)."""
+        cfg = self.cfg.llm
+        gen = llm_mod.lm_inference_bistream(
+            self.params["llm"], cfg,
+            (np.asarray(c, np.int32) for c in text_chunks),
+            prompt.prompt_text_tokens.astype(np.int32),
+            prompt.llm_prompt_speech_tokens.astype(np.int32),
+            self._next_rng(), max_cache=cfg.max_seq_len,
+        )
+        yield from self._wav_from_token_gen(gen, prompt, stream, speed)
 
     def _tts_stream_cached(
         self, prompt: PromptInputs, ids, src, prompt_len, min_len, max_len,

@@ -64,3 +64,50 @@ def test_bistream_generator_yields_tokens():
             break
     assert len(tokens) > 0
     assert all(0 <= t < CFG.speech_token_size for t in tokens)
+
+
+def test_bistream_through_public_api(tmp_path):
+    """--backbone routing: a non-BlankEN HF backbone sends tts()/stream()
+    through the bistream fill-token protocol, and stream_text() accepts
+    incremental text (reference llm.py:575-609).  Drives the real public
+    surface: load(backbone=...) -> Cosy2EU.tts/.stream/.stream_text."""
+    import dataclasses
+    import json
+
+    import cosyvoice2_eu_tpu as cosy
+
+    cfg = tiny_test_config()
+    bb = cfg.llm.backbone
+    # a local HF-style checkout: config.json describing the tiny backbone
+    (tmp_path / "config.json").write_text(json.dumps({
+        "model_type": "qwen2",
+        "vocab_size": bb.vocab_size,
+        "hidden_size": bb.hidden_size,
+        "intermediate_size": bb.intermediate_size,
+        "num_hidden_layers": bb.num_layers,
+        "num_attention_heads": bb.num_heads,
+        "num_key_value_heads": bb.num_kv_heads,
+        "head_dim": bb.head_dim,
+        "rope_theta": 1000000.0,
+    }))
+    model = cosy.load(config=cfg, backbone=f"local:{tmp_path}", seed=0)
+    assert model._model.use_bistream
+
+    rng = np.random.default_rng(0)
+    n_sp = 18
+    prompt = {
+        "prompt_feat": rng.standard_normal((n_sp * 2, cfg.flow.output_size)).astype(np.float32),
+        "speech_tokens": rng.integers(0, cfg.llm.speech_token_size, n_sp).astype(np.int32),
+        "embedding": rng.standard_normal(cfg.frontend.spk_embed_dim).astype(np.float32),
+        "prompt_text": "bonjour",
+    }
+    wav, sr = model.tts("bonjour le monde", prompt, mode="zero_shot")
+    assert wav.shape[0] == 1 and wav.shape[1] > 0 and np.isfinite(wav).all()
+
+    chunks = list(model.stream("hallo welt", prompt, mode="zero_shot"))
+    assert chunks and all(c.shape[0] == 1 for c in chunks)
+
+    # streaming TEXT input
+    pieces = iter(["bonjour ", "tout le ", "monde"])
+    out = list(model.stream_text(pieces, prompt, prompt_text="bonjour"))
+    assert out and all(np.isfinite(c).all() for c in out)
