@@ -57,19 +57,32 @@ def dtw_path(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 # spectral distance (MCD-style on mel cepstra)
 # ---------------------------------------------------------------------------
 
+def _np_stft_power(wav: np.ndarray, n_fft: int, hop: int) -> np.ndarray:
+    """(frames, bins) power spectrogram — numpy-pure so metrics never touch
+    the accelerator (per-sample host math; TPU dispatch would recompile per
+    audio length)."""
+    pad = (n_fft - hop) // 2
+    x = np.pad(wav, (pad, pad), mode="reflect")
+    n = 1 + (len(x) - n_fft) // hop
+    if n < 1:
+        return np.zeros((0, n_fft // 2 + 1), np.float32)
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n)[:, None]
+    frames = x[idx] * np.hanning(n_fft + 1)[:-1]
+    spec = np.fft.rfft(frames, axis=-1)
+    return (spec.real**2 + spec.imag**2).astype(np.float32)
+
+
 def _mel_cepstrum(wav: np.ndarray, sr: int, n_coef: int = 13) -> np.ndarray:
-    import jax.numpy as jnp
+    from cosyvoice2_eu_tpu.ops.mel import mel_filterbank
 
-    from cosyvoice2_eu_tpu.ops.mel import mel_spectrogram
-
-    mel = np.asarray(
-        mel_spectrogram(jnp.asarray(wav[None]), 1920, 80, sr, 480, 1920, 0.0, None, False)
-    )[0]  # (80, T) log-mel
+    power = _np_stft_power(wav, 1920, 480)  # (T, 961)
+    basis = mel_filterbank(sr, 1920, 80, fmin=0.0, fmax=None)  # (80, 961)
+    mel = np.log(np.clip(power @ np.asarray(basis).T, 1e-5, None))  # (T, 80)
     # DCT-II over mel bins -> cepstra; drop c0 (energy), keep c1..c12 like the
     # reference's pysptk mcep usage (metrics_computer.py:240-310)
     from scipy.fft import dct
 
-    cep = dct(mel.T, type=2, norm="ortho")[:, :n_coef]
+    cep = dct(mel, type=2, norm="ortho")[:, :n_coef]
     return cep[:, 1:]
 
 
@@ -90,16 +103,10 @@ def mcd(ref_wav: np.ndarray, gen_wav: np.ndarray, sr: int = 24000) -> float:
 
 def log_spectral_distance(ref_wav: np.ndarray, gen_wav: np.ndarray, sr: int = 24000) -> float:
     """LSD fallback (metrics_computer.py:313-360)."""
-    import jax.numpy as jnp
-
-    from cosyvoice2_eu_tpu.ops.stft import hann_window, stft
-
     n = min(len(ref_wav), len(gen_wav))
-    r_re, r_im = stft(jnp.asarray(ref_wav[None, :n]), 1024, 256, hann_window(1024))
-    g_re, g_im = stft(jnp.asarray(gen_wav[None, :n]), 1024, 256, hann_window(1024))
-    r = np.log10(np.asarray(r_re**2 + r_im**2) + 1e-10)
-    g = np.log10(np.asarray(g_re**2 + g_im**2) + 1e-10)
-    return float(np.mean(np.sqrt(np.mean((r - g) ** 2, axis=1))))
+    r = np.log10(_np_stft_power(ref_wav[:n], 1024, 256) + 1e-10)
+    g = np.log10(_np_stft_power(gen_wav[:n], 1024, 256) + 1e-10)
+    return float(np.mean(np.sqrt(np.mean((r - g) ** 2, axis=-1))))
 
 
 # ---------------------------------------------------------------------------
@@ -181,3 +188,33 @@ def normalize_text_for_wer(text: str, lang: str = "fr") -> str:
     text = "".join(c for c in text if unicodedata.category(c) != "Mn")
     text = re.sub(r"[^\w\s']", " ", text)
     return re.sub(r"\s+", " ", text).strip()
+
+
+def test_metrics() -> dict:
+    """Sine-pair smoke test (the reference's test_metrics,
+    evaluation/metrics_computer.py:689): identical signals score near-perfect;
+    detuned signals degrade in the expected direction."""
+    sr = 24000
+    t = np.arange(sr * 2) / sr
+    a = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    b = (0.5 * np.sin(2 * np.pi * 233 * t)).astype(np.float32)
+
+    same = {
+        "mcd": mcd(a, a, sr),
+        "lsd": log_spectral_distance(a, a, sr),
+        "f0_corr": pitch_metrics(a, a, sr).f0_corr,
+    }
+    diff = {
+        "mcd": mcd(a, b, sr),
+        "lsd": log_spectral_distance(a, b, sr),
+    }
+    ok = (
+        same["mcd"] < 1e-3
+        and same["lsd"] < 1e-3
+        and diff["mcd"] > same["mcd"]
+        and diff["lsd"] > same["lsd"]
+        and same["f0_corr"] > 0.9
+    )
+    out = {"ok": bool(ok), "identical": same, "detuned": diff}
+    print(out)
+    return out

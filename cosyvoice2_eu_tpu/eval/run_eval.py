@@ -64,6 +64,48 @@ def resolve_run_id(hours: int, backbone: str, language: str, mixed: bool) -> str
     return f"{hours}-averaged-{backbone}-{lang}"
 
 
+def metrics_for_pair(
+    ref: np.ndarray,
+    wav: np.ndarray,
+    sr: int,
+    synth_s: float,
+    embed_fn=None,
+    asr_fn=None,
+    lang: str = "fr",
+    text: str = "",
+) -> dict:
+    """All objective metrics for one (reference, generated) pair.
+
+    Note: mcd here is the DTW DCT-mel variant, a *relative* metric — not
+    directly comparable to the reference's WORLD+pysptk mcep dB numbers
+    (BASELINE.md); the summary labels it mcd_kind="dct-mel"."""
+    dur = len(wav) / sr
+    row = {
+        "audio_duration": round(dur, 3),
+        "synthesis_time": round(synth_s, 3),
+        "rtf": round(synth_s / max(dur, 1e-6), 4),
+        "mcd": round(M.mcd(ref, wav, sr), 3),
+        "lsd": round(M.log_spectral_distance(ref, wav, sr), 3),
+    }
+    pm = M.pitch_metrics(ref, wav, sr)
+    row.update(
+        gpe=round(pm.gpe, 2), f0_rmse=round(pm.f0_rmse, 2),
+        f0_corr=round(pm.f0_corr, 3), vuv_error=round(pm.vuv_error, 2),
+    )
+    if embed_fn is not None:
+        from cosyvoice2_eu_tpu.frontend.frontend import resample
+
+        row["secs"] = round(
+            M.secs(resample(ref, sr, 16000), resample(wav, sr, 16000), embed_fn), 4
+        )
+    if asr_fn is not None:
+        hyp = asr_fn(wav, sr)
+        row["wer"] = round(
+            M.wer(M.normalize_text_for_wer(text, lang), M.normalize_text_for_wer(hyp, lang)), 4
+        )
+    return row
+
+
 def evaluate_model(
     synthesize: Callable[[str, str], tuple[np.ndarray, float]],
     samples: List[EvalSample],
@@ -94,33 +136,12 @@ def evaluate_model(
             logging.exception("synthesis failed for %s", s.utt_id)
             rows.append({"utt_id": s.utt_id, "speaker": s.speaker, "error": str(e)})
             continue
-        dur = len(wav) / sr
         ref = load_wav(s.wav_path, sr)
-        row = {
-            "utt_id": s.utt_id,
-            "speaker": s.speaker,
-            "audio_duration": round(dur, 3),
-            "synthesis_time": round(synth_s, 3),
-            "rtf": round(synth_s / max(dur, 1e-6), 4),
-            "mcd": round(M.mcd(ref, wav, sr), 3),
-            "lsd": round(M.log_spectral_distance(ref, wav, sr), 3),
-        }
-        pm = M.pitch_metrics(ref, wav, sr)
+        row = {"utt_id": s.utt_id, "speaker": s.speaker}
         row.update(
-            gpe=round(pm.gpe, 2), f0_rmse=round(pm.f0_rmse, 2),
-            f0_corr=round(pm.f0_corr, 3), vuv_error=round(pm.vuv_error, 2),
+            metrics_for_pair(ref, wav, sr, synth_s, embed_fn=embed_fn,
+                             asr_fn=asr_fn, lang=lang, text=s.text)
         )
-        if embed_fn is not None:
-            from cosyvoice2_eu_tpu.frontend.frontend import resample
-
-            row["secs"] = round(
-                M.secs(resample(ref, sr, 16000), resample(wav, sr, 16000), embed_fn), 4
-            )
-        if asr_fn is not None:
-            hyp = asr_fn(wav, sr)
-            row["wer"] = round(
-                M.wer(M.normalize_text_for_wer(s.text, lang), M.normalize_text_for_wer(hyp, lang)), 4
-            )
         rows.append(row)
 
     csv_path = os.path.join(out_dir, f"{model_name}_results.csv")

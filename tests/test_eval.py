@@ -80,3 +80,117 @@ def test_pipeline_over_synthetic_dataset(tmp_path):
     assert "rtf" in summary and "mcd" in summary
     assert os.path.exists(out / "fake_model_results.csv")
     assert os.path.exists(out / "fake_model_report.md")
+
+
+class _FakeModel:
+    """Minimal Cosy2EU-like surface for the Synthesizer wrapper."""
+
+    sample_rate = 24000
+
+    def __init__(self):
+        from cosyvoice2_eu_tpu.frontend.frontend import load_wav
+
+        self._load = load_wav
+        self._spk = {}
+
+        class _FE:
+            get_spk = lambda _self, k: self._spk[k]
+
+        self._frontend = _FE()
+
+    def add_zero_shot_spk(self, prompt_text, prompt, spk_id):
+        self._spk[spk_id] = prompt
+        return True
+
+    def tts(self, text, prompt, **kw):
+        wav = (
+            self._load(prompt, 24000)
+            if isinstance(prompt, str)
+            else np.zeros(2400, np.float32)
+        )
+        noise = 0.01 * np.random.default_rng(0).standard_normal(len(wav))
+        return (wav + noise.astype(np.float32))[None], 24000
+
+
+def test_full_matrix_pipeline(tmp_path):
+    """hours x setting matrix -> per-model CSVs + combined + analyses +
+    markdown + web charts (run_evaluation_pipeline.py:444-624 shape)."""
+    from cosyvoice2_eu_tpu.eval import report
+    from cosyvoice2_eu_tpu.eval.pipeline import EvaluationPipeline
+    from cosyvoice2_eu_tpu.eval.synthesizer import Synthesizer
+
+    root = tmp_path / "test"
+    for spk, freq in [("spk1", 200.0), ("spk2", 300.0)]:
+        d = root / spk
+        os.makedirs(d)
+        for i in range(2):
+            _write_wav(d / f"{spk}_utt{i}.wav", _sine(freq + 10 * i))
+            (d / f"{spk}_utt{i}.normalized.txt").write_text("bonjour le monde")
+
+    cfg = {
+        "models": {
+            "pretrained": {"setting": "original"},
+            "full_finetuned": {"setting": "llm_flow_hifigan"},
+        },
+        "hours": [50, 100],
+        "results_dir": str(tmp_path / "results"),
+        "timeout_s": 60.0,
+    }
+    resolved = []
+
+    def factory(model_cfg):
+        resolved.append(model_cfg)
+        return Synthesizer(model=_FakeModel(), warmup=False, timeout_s=60.0)
+
+    pipe = EvaluationPipeline(cfg, language="fr", model_factory=factory)
+    result = pipe.run(str(root))
+
+    # run-id resolution: finetuned gets ids, original does not
+    ids = {(c["name"], c["hours"]): c.get("llm_run_id") for c in resolved}
+    assert ids[("full_finetuned", 50)] == "50-averaged-bl-FR"
+    assert ids[("pretrained", 50)] is None
+
+    res = tmp_path / "results"
+    assert (res / "combined_fr.csv").exists()
+    assert (res / "component_analysis.csv").exists()
+    assert (res / "duration_analysis.csv").exists()
+    assert (res / "evaluation_report.md").exists()
+    assert (res / "full_finetuned_100h_fr.csv").exists()
+    assert len(result["duration"]) == 2  # one row per hours
+    assert all(r["success_rate"] == 1.0 for r in result["component"])
+
+    out = report.generate_all(str(res), language="fr")
+    assert out["charts"], "no charts written"
+    import json
+
+    payload = json.loads(open(out["charts"][0]).read())
+    assert payload["labels"] and payload["datasets"][0]["data"]
+    assert os.path.exists(out["tables"])
+
+
+def test_pipeline_timeout_rows(tmp_path):
+    """A hung synthesis becomes a failure row; the run continues."""
+    import time as _time
+
+    from cosyvoice2_eu_tpu.eval.synthesizer import Synthesizer
+
+    class _Slow(_FakeModel):
+        def tts(self, text, prompt, **kw):
+            if "slow" in text:
+                _time.sleep(1.0)
+            return super().tts(text, prompt, **kw)
+
+    syn = Synthesizer(model=_Slow(), warmup=False, timeout_s=0.2)
+    wav_path = str(tmp_path / "p.wav")
+    _write_wav(wav_path, _sine(220))
+    rows = syn.synthesize_batch(
+        [("a", "slow one", wav_path), ("b", "fast", wav_path)]
+    )
+    assert "error" in rows[0] and "timeout" in rows[0]["error"]
+    assert "wav" in rows[1]
+
+
+def test_metrics_smoke_mode():
+    from cosyvoice2_eu_tpu.eval.metrics import test_metrics as tm
+
+    assert tm()["ok"]
