@@ -68,7 +68,19 @@ def main():
         durs.append(len(audio) / sr)
     rtf = float(np.sum(times) / np.sum(durs))
 
-    # ---- streaming TTFA ----
+    # ---- streaming TTFA: cold (never-seen prompt) and warm (primed) ----
+    # cold = new-speaker first-audio latency on a warm server: programs are
+    # compiled (same shape buckets) but the prompt was never primed
+    cold_prompt = make_prompt(cfg, np.random.default_rng(1234))
+    model._primed_cache.clear()
+    model._rng = jax.random.key(98)
+    gen = model.tts(cold_prompt, stream=True)
+    t0 = time.time()
+    first = next(gen)
+    ttfa_cold = time.time() - t0
+    for _ in gen:
+        pass
+
     model._rng = jax.random.key(99)
     gen = model.tts(prompt, stream=True)
     t0 = time.time()
@@ -97,6 +109,9 @@ def main():
                 "vs_baseline": round(rtf / BASELINE_RTF, 3),
                 "audio_seconds_per_run": round(float(np.mean(durs)), 2),
                 "ttfa_s": round(ttfa, 3),
+                "ttfa_warm_s": round(ttfa, 3),
+                "ttfa_cold_s": round(ttfa_cold, 3),
+                "stream_session_mb": round(model.stream_session_bytes() / 2**20, 1),
                 "stream_audio_s": round(stream_dur, 2),
                 "batch20_rtf": round(batch_rtf, 4),
                 "batch20_audio_s": round(batch_audio_s, 1),

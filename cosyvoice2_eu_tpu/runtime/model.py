@@ -465,6 +465,22 @@ class TTSModel:
         final_tokens = np.asarray(state.tokens)[0, : int(state.lengths[0])]
         yield self._token2wav(final_tokens, prompt, token_offset, session, False, True, speed)
 
+    def stream_session_bytes(self) -> int:
+        """HBM held by one cached-flow streaming session at the configured
+        token cap (serving capacity planning; VERDICT r1 weak #8)."""
+        from cosyvoice2_eu_tpu.models.flow_streaming import init_flow_stream_state
+
+        dtype = self.params["flow"]["input_embedding"]["weight"].dtype
+        st = jax.eval_shape(
+            lambda: init_flow_stream_state(
+                self.cfg.flow, self.stream_max_tokens, dtype=dtype
+            )
+        )
+        return sum(
+            int(np.prod(leaf.shape)) * leaf.dtype.itemsize
+            for leaf in jax.tree.leaves(st)
+        )
+
     # ------------------------------------------------------------------
     # bistream (streaming text input / HF-backbone routing)
     # ------------------------------------------------------------------
@@ -569,8 +585,13 @@ class TTSModel:
                 out[k] = prompt.flow_prompt_speech_tokens[i] if i < P else gen[i - P]
             return out
 
-        def feed(fstate, t_fed, n):
-            """One cached-flow feed of n tokens starting at t_fed."""
+        def feed(fstate, t_fed, n, materialize=True):
+            """One cached-flow feed of n tokens starting at t_fed.
+
+            materialize=False keeps the (discarded) mel on device so prompt
+            priming enqueues back-to-back without host round trips — each
+            device_get is an RPC on the axon tunnel and was serializing the
+            cold-prompt TTFA path."""
             if t_fed + n + la > P:  # one fetch covers tok + ctx
                 gen_cache["arr"] = np.asarray(state.tokens)[0]
             tok = combined(t_fed, n)[None]
@@ -585,7 +606,7 @@ class TTSModel:
                     sparams, fstate, jnp.asarray(tok), jnp.asarray(ctx),
                     jnp.asarray(prompt.embedding[None]), jnp.asarray(cond),
                 )
-            return np.asarray(mel), fstate
+            return (np.asarray(mel) if materialize else mel), fstate
 
         # ---- prompt priming (cached per prompt) ----
         # Feed all full prompt chunks once, snapshot the state; later requests
@@ -602,7 +623,7 @@ class TTSModel:
             fstate = init_flow_stream_state(cfg.flow, self.stream_max_tokens, dtype=dtype)
             t = 0
             for n in self._decompose_feed(prompt_only):
-                _, fstate = feed(fstate, t, n)  # prompt-only mel discarded
+                _, fstate = feed(fstate, t, n, materialize=False)  # mel discarded
                 t += n
             if len(self._primed_cache) >= 4:  # bound HBM held by snapshots
                 self._primed_cache.pop(next(iter(self._primed_cache)))
