@@ -33,7 +33,12 @@ def init_distributed(
             process_id=int(process_id or os.environ.get("JAX_PROCESS_ID", 0)),
         )
     elif os.environ.get("TPU_WORKER_HOSTNAMES"):
-        jax.distributed.initialize()  # TPU pod: auto-discovery
+        try:
+            jax.distributed.initialize()  # TPU pod: auto-discovery
+        except (ValueError, RuntimeError) as e:
+            # single-host boxes sometimes carry pod-ish env vars without a
+            # resolvable coordinator; degrade to single-process
+            logging.info("jax.distributed auto-init unavailable (%s); single process", e)
     logging.info(
         "jax distributed: process %d / %d, %d local / %d global devices",
         jax.process_index(), jax.process_count(),

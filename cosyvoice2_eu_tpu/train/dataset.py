@@ -222,6 +222,15 @@ def padding(batches: Iterator[List[dict]], use_spk_embedding: bool = True,
             out["speech_token_len"] = np.asarray(
                 [len(s["speech_token"]) for s in batch], np.int32
             )
+        if "reject_speech_token" in batch[0]:
+            # DPO pairs: the rejected continuation rides beside the chosen
+            # tokens (reference processor.py:360 dpo padding)
+            out["reject_speech_token"] = _pad2(
+                [np.asarray(s["reject_speech_token"], np.int32) for s in batch]
+            )
+            out["reject_speech_token_len"] = np.asarray(
+                [len(s["reject_speech_token"]) for s in batch], np.int32
+            )
         if "pitch_feat" in batch[0]:
             out["pitch_feat"] = _pad2([s["pitch_feat"] for s in batch])
         if "speech" in batch[0]:

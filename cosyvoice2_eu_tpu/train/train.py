@@ -48,37 +48,102 @@ def read_list(path: str) -> list[str]:
         return [line.strip() for line in f if line.strip()]
 
 
-def make_logger(tb_dir: str):
+def make_logger(tb_dir: str, use_wandb: bool = False, wandb_project: str = "",
+                run_name: str = ""):
+    """Tensorboard (+optional W&B) metric sink (reference train_utils.py:375-439
+    logs loss/acc/lr/grad_norm per step to both)."""
+    sinks = []
     try:
         from torch.utils.tensorboard import SummaryWriter
 
         writer = SummaryWriter(tb_dir)
 
-        def log(metrics: dict):
+        def tb(metrics: dict):
             step = metrics.get("step", 0)
             for k, v in metrics.items():
                 if isinstance(v, (int, float)) and k != "step":
                     writer.add_scalar(f"train/{k}", v, step)
 
-        return log
+        sinks.append(tb)
     except Exception:  # pragma: no cover
-        return lambda m: None
+        pass
+    if use_wandb:
+        try:
+            import wandb
+
+            run = wandb.init(
+                project=wandb_project or "cosyvoice2-eu-tpu",
+                name=run_name or None,
+                resume="allow",
+            )
+            sinks.append(lambda m: run.log(
+                {f"train/{k}": v for k, v in m.items()
+                 if isinstance(v, (int, float))},
+                step=int(m.get("step", 0)),
+            ))
+        except Exception:  # wandb absent / no network: degrade gracefully
+            logging.warning("wandb requested but unavailable; continuing without")
+
+    def log(metrics: dict):
+        for sink in sinks:
+            sink(metrics)
+
+    return log
 
 
 def lm_batches(paths, tokenizer, mel_fn, cfg: TTSConfig, rank, world, epoch, rng,
-               max_frames: int, pad_multiple: int = 64):
-    """Wrap the generic pipeline into packed LM batches."""
+               max_frames: int, pad_multiple: int = 64, dpo: bool = False):
+    """Wrap the generic pipeline into packed LM batches.
+
+    dpo=True additionally packs the rejected continuations (parquet column
+    reject_speech_token) as reject_* arrays for dpo_loss_fn."""
     for batch in ds.build_pipeline(paths, tokenizer, mel_fn, rank, world, epoch,
                                    max_frames_in_batch=max_frames):
         if "speech_token" not in batch:
             continue
+        if dpo and "reject_speech_token" not in batch:
+            continue
         texts = [row[:n] for row, n in zip(batch["text_token"], batch["text_token_len"])]
         speeches = [row[:n] for row, n in zip(batch["speech_token"], batch["speech_token_len"])]
+        rejects = (
+            [row[:n] for row, n in zip(batch["reject_speech_token"],
+                                       batch["reject_speech_token_len"])]
+            if dpo else []
+        )
         longest = max(
-            len(t) + len(s) + 2 + (len(s) // 15 + 2) for t, s in zip(texts, speeches)
+            len(t) + len(s) + 2 + (len(s) // 15 + 2)
+            for t, s in zip(texts * (2 if dpo else 1), speeches + rejects)
         )
         pad_to = -(-longest // pad_multiple) * pad_multiple
-        yield build_lm_batch(texts, speeches, cfg.llm, rng, pad_to=pad_to)
+        out = build_lm_batch(
+            texts, speeches, cfg.llm, rng, pad_to=pad_to,
+            bistream_prob=0.0 if dpo else 0.5,  # DPO pairs stay unistream
+        )
+        if dpo:
+            rb = build_lm_batch(texts, rejects, cfg.llm, rng, pad_to=pad_to,
+                                bistream_prob=0.0)
+            out.update({f"reject_{k}": v for k, v in rb.items()})
+        yield out
+
+
+def pad_batch_rows(batch: dict, multiple: int) -> dict:
+    """Pad the batch dim to a multiple of dp so dynamic frame-batching output
+    shards cleanly; pad rows carry zero lengths (masked out of every loss)
+    and IGNORE targets."""
+    from cosyvoice2_eu_tpu.train.sequences import IGNORE_ID
+
+    b = next(iter(batch.values())).shape[0]
+    pad = (-b) % multiple
+    if pad == 0:
+        return batch
+    out = {}
+    for k, v in batch.items():
+        v = np.asarray(v)
+        block = np.full(
+            (pad,) + v.shape[1:], IGNORE_ID if k.endswith("target") else 0, v.dtype
+        )
+        out[k] = np.concatenate([v, block], axis=0)
+    return out
 
 
 def main(argv=None):
@@ -89,20 +154,43 @@ def main(argv=None):
     parser.add_argument("--model_dir", required=True)
     parser.add_argument("--tensorboard_dir", default=None)
     parser.add_argument("--qwen_pretrain_path", default="")
+    parser.add_argument("--config", default=None,
+                        help="JSON TTSConfig (config.load_config); default full-size")
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--max_epoch", type=int, default=None)
     parser.add_argument("--lr", type=float, default=None)
     parser.add_argument("--max_frames_in_batch", type=int, default=3000)
     parser.add_argument("--fsdp", type=int, default=1)
     parser.add_argument("--seed", type=int, default=1986)
+    # fine-tuning modes (reference bin/train.py --lora/--dpo surface)
+    parser.add_argument("--init_checkpoint", default=None,
+                        help="orbax pytree to initialize params from")
+    parser.add_argument("--lora", action="store_true")
+    parser.add_argument("--lora_rank", type=int, default=8)
+    parser.add_argument("--lora_alpha", type=float, default=16.0)
+    parser.add_argument("--dpo", action="store_true",
+                        help="requires reject_speech_token in the parquet")
+    parser.add_argument("--dpo_beta", type=float, default=0.01)
+    # logging (reference train.py:202-358 wandb surface)
+    parser.add_argument("--wandb", action="store_true")
+    parser.add_argument("--wandb_project", default="cosyvoice2-eu-tpu")
     args = parser.parse_args(argv)
+    if (args.lora or args.dpo) and args.model != "llm":
+        parser.error("--lora/--dpo apply to --model llm")
+    if args.lora and args.dpo:
+        parser.error("--lora and --dpo are mutually exclusive in this CLI")
 
     logging.basicConfig(level=logging.INFO)
     # multi-host bring-up (no-op on a single host): rank/world shard the
     # data pipeline exactly like the reference's DistributedSampler
     # (dataset/dataset.py:51-104 shards by rank then dataloader worker)
     rank, world = init_distributed()
-    cfg = TTSConfig()
+    if args.config:
+        from cosyvoice2_eu_tpu.config import load_config
+
+        cfg = load_config(args.config)
+    else:
+        cfg = TTSConfig()
     train_cfg = TrainConfig()
     if args.lr:
         train_cfg = TrainConfig(lr=args.lr)
@@ -127,23 +215,58 @@ def main(argv=None):
 
     if args.model == "llm":
         from cosyvoice2_eu_tpu.models.llm import init_lm
+        from cosyvoice2_eu_tpu.runtime.checkpoint import load_pytree
 
         params = init_lm(jax.random.key(args.seed), cfg.llm)
-        step_fn = make_lm_train_step(cfg.llm, train_cfg, tx)
-        cv_fn = jax.jit(lambda p, b: lm_loss_fn(p, cfg.llm, b, train_cfg)[1])
+        if args.init_checkpoint:
+            params = load_pytree(args.init_checkpoint, jax.device_get(params))
+
+        if args.dpo:
+            from cosyvoice2_eu_tpu.train.dpo import dpo_loss_fn, make_dpo_train_step
+
+            # jnp.copy: shard_params may alias buffers, and the donated
+            # train state would delete an aliased frozen reference
+            ref_params = jax.tree.map(jnp.copy, params)  # frozen reference
+            step_fn = make_dpo_train_step(cfg.llm, train_cfg, tx, ref_params,
+                                          beta=args.dpo_beta)
+            cv_fn = jax.jit(
+                lambda p, b: dpo_loss_fn(p, ref_params, cfg.llm, b, args.dpo_beta)[1]
+            )
+        elif args.lora:
+            from cosyvoice2_eu_tpu.train.lora import (
+                apply_lora,
+                init_lora,
+                make_lora_lm_train_step,
+            )
+
+            base_params = jax.tree.map(jnp.copy, params)
+            params = init_lora(jax.random.key(args.seed + 1), base_params,
+                               rank=args.lora_rank)
+            step_fn = make_lora_lm_train_step(cfg.llm, train_cfg, tx, base_params,
+                                              alpha=args.lora_alpha)
+            cv_fn = jax.jit(
+                lambda lo, b: lm_loss_fn(
+                    apply_lora(base_params, lo, args.lora_alpha), cfg.llm, b, train_cfg
+                )[1]
+            )
+        else:
+            step_fn = make_lm_train_step(cfg.llm, train_cfg, tx)
+            cv_fn = jax.jit(lambda p, b: lm_loss_fn(p, cfg.llm, b, train_cfg)[1])
 
         def train_iter(epoch):
             for b in lm_batches(
                 read_list(args.train_data), tokenizer, mel_fn, cfg, rank, world,
-                epoch, rng, args.max_frames_in_batch,
+                epoch, rng, args.max_frames_in_batch, dpo=args.dpo,
             ):
+                b = pad_batch_rows(b, mesh.shape["dp"])
                 yield shard_batch({k: jnp.asarray(v) for k, v in b.items()}, mesh)
 
         def cv_iter():
             for b in lm_batches(
                 read_list(args.cv_data), tokenizer, mel_fn, cfg, rank, world, 0, rng,
-                args.max_frames_in_batch,
+                args.max_frames_in_batch, dpo=args.dpo,
             ):
+                b = pad_batch_rows(b, mesh.shape["dp"])
                 yield shard_batch({k: jnp.asarray(v) for k, v in b.items()}, mesh)
 
     elif args.model == "flow":
@@ -168,6 +291,7 @@ def main(argv=None):
                                        max_frames_in_batch=args.max_frames_in_batch):
                 if "speech_token" not in b or "embedding" not in b:
                     continue
+                b = pad_batch_rows(b, mesh.shape["dp"])
                 yield shard_batch(
                     {
                         k: jnp.asarray(v)
@@ -190,7 +314,11 @@ def main(argv=None):
 
         executor = Executor(
             train_cfg, step_fn, cv_fn, args.model_dir,
-            log_fn=make_logger(args.tensorboard_dir or os.path.join(args.model_dir, "tb")),
+            log_fn=make_logger(
+                args.tensorboard_dir or os.path.join(args.model_dir, "tb"),
+                use_wandb=args.wandb, wandb_project=args.wandb_project,
+                run_name=os.path.basename(args.model_dir.rstrip("/")),
+            ),
         )
         start_epoch = 0
         if args.resume:

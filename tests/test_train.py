@@ -181,3 +181,56 @@ def test_flow_train_step():
         state3, metrics2 = step_fn(state2, batch, jax.random.key(4), streaming=True)
     assert np.isfinite(float(metrics["loss"]))
     assert np.isfinite(float(metrics2["loss"]))
+
+
+def test_train_cli_end_to_end(tmp_path):
+    """Drive the real CLI (train.main) for llm / --lora / --dpo on synthetic
+    parquet with the tiny config: batches pad to the dp mesh, checkpoints
+    appear, and every mode finishes an epoch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cosyvoice2_eu_tpu.config import config_to_dict, tiny_test_config
+    from cosyvoice2_eu_tpu.train import train as T
+
+    rng = np.random.default_rng(0)
+    rows = {
+        "utt": [], "spk": [], "text": [], "speech": [], "sample_rate": [],
+        "speech_token": [], "reject_speech_token": [],
+        "utt_embedding": [], "spk_embedding": [],
+    }
+    for i in range(6):  # 6 rows: exercises pad_batch_rows (6 -> 8)
+        n = int(rng.integers(24000, 48000))
+        rows["utt"].append(f"utt{i}")
+        rows["spk"].append(f"spk{i % 2}")
+        rows["text"].append("bonjour le monde")
+        rows["speech"].append((rng.standard_normal(n) * 0.1).astype(np.float32).tolist())
+        rows["sample_rate"].append(24000)
+        rows["speech_token"].append(rng.integers(0, 81, n // 960).astype(np.int32).tolist())
+        rows["reject_speech_token"].append(
+            rng.integers(0, 81, n // 960).astype(np.int32).tolist()
+        )
+        rows["utt_embedding"].append(rng.standard_normal(192).astype(np.float32).tolist())
+        rows["spk_embedding"].append(rng.standard_normal(192).astype(np.float32).tolist())
+    shard = tmp_path / "shard_0.parquet"
+    pq.write_table(pa.table(rows), str(shard))
+    lst = tmp_path / "data.list"
+    lst.write_text(str(shard) + "\n")
+
+    import json
+
+    cfg_path = tmp_path / "tiny.json"
+    cfg_path.write_text(json.dumps(config_to_dict(tiny_test_config())))
+
+    common = [
+        "--model", "llm", "--train_data", str(lst), "--cv_data", str(lst),
+        "--config", str(cfg_path), "--max_epoch", "1", "--max_frames_in_batch",
+        "100000", "--seed", "3",
+    ]
+    for extra, tag in ([], "plain"), (["--lora"], "lora"), (["--dpo"], "dpo"):
+        model_dir = tmp_path / f"exp_{tag}"
+        T.main(common + ["--model_dir", str(model_dir)] + extra)
+        import os as _os
+
+        ckpts = [f for f in _os.listdir(model_dir) if f.endswith(".json")]
+        assert ckpts, f"no checkpoint written for {tag}"
