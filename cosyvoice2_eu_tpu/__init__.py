@@ -158,6 +158,38 @@ class Cosy2EU:
         art = self._prepare(prompt, prompt_text)
         return self._frontend.add_zero_shot_spk(spk_id, art)
 
+    def warmup(self, stream: bool = True, prompt_seconds: float = 6.0) -> float:
+        """Compile the standard shape buckets before serving traffic.
+
+        Runs one short synthesis (non-streaming, and streaming when asked)
+        over a synthetic prompt so every stage program lands in the
+        persistent compile cache; returns wall seconds spent."""
+        import time
+
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        n_sp = int(prompt_seconds * self._cfg.flow.input_frame_rate)
+        prompt = {
+            "prompt_feat": (rng.standard_normal(
+                (n_sp * self._cfg.token_mel_ratio, self._cfg.flow.output_size)
+            ) * 0.5 - 4.0).astype(np.float32),
+            "speech_tokens": rng.integers(
+                0, self._cfg.llm.speech_token_size, n_sp
+            ).astype(np.int32),
+            "embedding": rng.standard_normal(
+                self._cfg.frontend.spk_embed_dim
+            ).astype(np.float32),
+            "prompt_text": "",
+        }
+        t0 = time.time()
+        self.tts("Bonjour, ceci est un échauffement du serveur.", prompt)
+        if stream:
+            for _ in self.stream("Hallo, dies ist ein Aufwärmen.", prompt):
+                pass
+        self._model._primed_cache.clear()  # drop the synthetic prompt's state
+        return time.time() - t0
+
     def stream_text(
         self,
         text_iter,
@@ -258,9 +290,22 @@ def load(
     """
     import dataclasses
 
+    import jax
+
     from cosyvoice2_eu_tpu.frontend.frontend import Frontend
     from cosyvoice2_eu_tpu.frontend.tokenizer import get_tokenizer
     from cosyvoice2_eu_tpu.runtime.model import TTSModel
+
+    # persistent XLA compile cache: a warm cache cuts the cold-start compile
+    # from minutes to seconds across processes (the role TRT/JIT artifacts
+    # play in the reference, cli/model.py:100-116,285-287)
+    if jax.config.jax_compilation_cache_dir is None:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("COSY_COMPILE_CACHE", "/tmp/jax_cache_cosyvoice2_eu_tpu"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
     cfg = config or TTSConfig()
     bb_cfg, bb_tokenizer_dir, use_bistream = resolve_backbone(backbone, model_dir)
