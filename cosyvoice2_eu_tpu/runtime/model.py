@@ -617,9 +617,9 @@ class TTSModel:
             prompt_only -= hop  # context for the last prime feed must be prompt tokens
         pk = (P, prompt.flow_prompt_speech_tokens[: min(P, 16)].tobytes())
         clone = lambda st: jax.tree.map(jnp.copy, st)
-        if pk in self._primed_cache:
-            fstate = clone(self._primed_cache[pk])
-        else:
+        primed = pk in self._primed_cache
+
+        def prime_state():
             fstate = init_flow_stream_state(cfg.flow, self.stream_max_tokens, dtype=dtype)
             t = 0
             for n in self._decompose_feed(prompt_only):
@@ -628,8 +628,9 @@ class TTSModel:
             if len(self._primed_cache) >= 4:  # bound HBM held by snapshots
                 self._primed_cache.pop(next(iter(self._primed_cache)))
             self._primed_cache[pk] = clone(fstate)
-        t_fed = prompt_only
+            return fstate
 
+        t_fed = prompt_only
         emitted_tokens = 0  # generated tokens already vocoded
         mel_buf = np.zeros((1, cfg.flow.output_size, 0), np.float32)
         this_hop = hop + prompt_pad
@@ -641,6 +642,45 @@ class TTSModel:
         step, n_avail, finished = jax.device_get(
             (state.step, state.lengths[0], state.finished[0])
         )
+
+        if primed:
+            fstate = clone(self._primed_cache[pk])
+        else:
+            # HYBRID COLD START: a never-seen prompt emits its first chunk
+            # through the one-program recompute path (~70 ms on a v5e) while
+            # the cached-flow state primes behind it — priming's many small
+            # per-(step, stage) ops are overhead-bound and would put ~0.27 s
+            # in front of the first audio.  Cached == recompute is
+            # equality-verified, so the mix is exact.
+            need = this_hop + la
+            if int(n_avail) < need and not bool(finished):
+                target = int(step) + (need - int(n_avail))
+                state = chunk_fn(
+                    self.params["llm"], state, pl, min_a, max_a, jnp.asarray(target)
+                )
+                step, n_avail, finished = jax.device_get(
+                    (state.step, state.lengths[0], state.finished[0])
+                )
+            if int(n_avail) >= need:
+                first_tokens = np.asarray(state.tokens)[0, :need]
+                with self.timer.stage("cold_first_recompute"):
+                    audio = self._token2wav(
+                        first_tokens, prompt, 0, session, True, False
+                    )
+                yield audio
+                fstate = prime_state()
+                # catch the cached state up over the already-emitted region
+                _, fstate = feed(fstate, t_fed, next_feed, materialize=False)
+                t_fed += next_feed
+                emitted_tokens = this_hop
+                this_hop = hop
+                next_feed = hop
+            else:
+                # utterance shorter than one hop: the final recompute below
+                # handles it; no cached state needed
+                fstate = init_flow_stream_state(
+                    cfg.flow, self.stream_max_tokens, dtype=dtype
+                )
         while True:
             need_gen = t_fed + next_feed + la - P
             if need_gen > 0 and int(n_avail) < need_gen and not bool(finished):

@@ -111,3 +111,30 @@ def test_vc_mode(model):
     assert len(wav) == 30 * CFG.flow.token_mel_ratio * CFG.hift.upsample_scale
     chunks = list(model.vc(source, prompt, stream=True))
     assert len(np.concatenate(chunks)) == len(wav)
+
+
+def test_cold_and_warm_streams_identical(model):
+    """Hybrid cold start (first chunk via recompute while priming) must
+    produce the same audio as a warm (primed-snapshot) run: cached ==
+    recompute equality holds through the orchestration."""
+    rng = np.random.default_rng(5)
+    n_sp = 30  # > one hop so real prime feeds happen
+    prompt = PromptInputs(
+        text_tokens=rng.integers(2, 200, 12).astype(np.int32),
+        prompt_text_tokens=rng.integers(2, 200, 4).astype(np.int32),
+        llm_prompt_speech_tokens=rng.integers(0, CFG.llm.speech_token_size, n_sp).astype(np.int32),
+        flow_prompt_speech_tokens=rng.integers(0, CFG.flow.vocab_size, n_sp).astype(np.int32),
+        prompt_feat=rng.standard_normal((n_sp * 2, CFG.flow.output_size)).astype(np.float32),
+        embedding=rng.standard_normal(CFG.frontend.spk_embed_dim).astype(np.float32),
+    )
+    model._primed_cache.clear()
+    model._rng = jax.random.key(55)
+    cold = list(model.tts(prompt, stream=True))
+    assert prompt.flow_prompt_speech_tokens[:16].tobytes() in [
+        k[1] for k in model._primed_cache
+    ], "cold run should have populated the primed cache"
+    model._rng = jax.random.key(55)
+    warm = list(model.tts(prompt, stream=True))
+    assert len(cold) == len(warm)
+    for c, w in zip(cold, warm):
+        np.testing.assert_allclose(c, w, atol=2e-3)
