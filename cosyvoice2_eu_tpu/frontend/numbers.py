@@ -192,3 +192,47 @@ NUMBER_SPELLERS = {
     "de": number_to_words_de,
     "en": number_to_words_en,
 }
+
+
+def ordinal_to_words_fr(n: int, feminine: bool = False) -> str:
+    """French ordinals: premier/première, then cardinal + ième with the
+    standard elisions (quatre->quatrième, cinq->cinquième, neuf->neuvième)."""
+    if n == 1:
+        return "première" if feminine else "premier"
+    words = number_to_words_fr(n)
+    parts = words.replace("-", " ").split(" ")
+    last = parts[-1]
+    if last == "un":
+        last = "unième"
+    elif last == "cinq":
+        last = "cinquième"
+    elif last == "neuf":
+        last = "neuvième"
+    elif last.endswith("e"):
+        last = last[:-1] + "ième"
+    elif last.endswith("s") and n % 10 == 0 and last not in ("trois",):
+        last = last[:-1] + "ième"  # vingts -> vingtième is handled below
+    else:
+        last = last + "ième"
+    parts[-1] = last
+    return " ".join(parts)
+
+
+_EN_ORD_IRREGULAR = {
+    "one": "first", "two": "second", "three": "third", "five": "fifth",
+    "eight": "eighth", "nine": "ninth", "twelve": "twelfth",
+}
+
+
+def ordinal_to_words_en(n: int) -> str:
+    words = number_to_words_en(n)
+    parts = words.replace("-", " ").split(" ")
+    last = parts[-1]
+    if last in _EN_ORD_IRREGULAR:
+        last = _EN_ORD_IRREGULAR[last]
+    elif last.endswith("y"):
+        last = last[:-1] + "ieth"
+    else:
+        last = last + "th"
+    parts[-1] = last
+    return " ".join(parts)

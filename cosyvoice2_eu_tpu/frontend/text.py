@@ -14,12 +14,6 @@ from __future__ import annotations
 import re
 from typing import Callable, List
 
-from cosyvoice2_eu_tpu.frontend.numbers import (
-    number_to_words_de,
-    number_to_words_en,
-    number_to_words_fr,
-    ordinal_to_words_de,
-)
 
 _FRENCH_CHARS = re.compile(r"[àâäéèêëïîôùûüÿç]")
 _FRENCH_WORDS = re.compile(
@@ -83,9 +77,13 @@ _FR_SYMBOLS = [
 
 
 def normalize_french(text: str) -> str:
+    from cosyvoice2_eu_tpu.frontend.tn import normalize_numbers_dates_units
+
     for pat, rep in _FR_ABBREV:
         text = re.sub(pat, rep, text, flags=re.IGNORECASE)
-    text = re.sub(r"\b\d+\b", lambda m: number_to_words_fr(int(m.group())), text)
+    # full semiotic-class cascade (dates, times, currency, decimals,
+    # ordinals, units, phone numbers, ranges, cardinals)
+    text = normalize_numbers_dates_units(text, "fr")
     for sym, rep in _FR_SYMBOLS:
         text = text.replace(sym, rep)
     text = remove_bracket(text)
@@ -106,33 +104,13 @@ _DE_ABBREV = [
     (r"\bNr\.?\b", "Nummer"),
 ]
 
-_DE_DIGIT_WORDS = {
-    "0": "null", "1": "eins", "2": "zwei", "3": "drei", "4": "vier",
-    "5": "fünf", "6": "sechs", "7": "sieben", "8": "acht", "9": "neun",
-}
-
-
 def normalize_german(text: str) -> str:
+    from cosyvoice2_eu_tpu.frontend.tn import normalize_numbers_dates_units
+
     for pat, rep in _DE_ABBREV:
         text = re.sub(pat, rep, text, flags=re.IGNORECASE)
-    # ordinals like "1." before a space/end
-    text = re.sub(r"\b(\d+)\.(?=\s|$)", lambda m: ordinal_to_words_de(int(m.group(1))), text)
-    # decimals "3,14" -> "drei Komma eins vier"
-    def _dec(m):
-        s = m.group(0).replace(".", "").replace(" ", "")
-        intp, frac = s.split(",", 1)
-        frac_spelled = " ".join(_DE_DIGIT_WORDS.get(ch, ch) for ch in frac)
-        return f"{number_to_words_de(int(intp))} Komma {frac_spelled}"
-
-    text = re.sub(r"\b\d{1,3}(?:[.\s]\d{3})*,\d+\b", _dec, text)
-    # grouped thousands then plain integers
-    def _int(m):
-        return number_to_words_de(int(m.group(0).replace(".", "").replace(" ", "")))
-
-    text = re.sub(r"\b\d{1,3}(?:[.\s]\d{3})+\b", _int, text)
-    text = re.sub(r"\b\d+\b", _int, text)
+    text = normalize_numbers_dates_units(text, "de")
     text = text.replace("€", " Euro ").replace("%", " Prozent ")
-    text = re.sub(r"\bkm/?h\b", " Kilometer pro Stunde ", text, flags=re.IGNORECASE)
     text = text.replace("&", " und ").replace("@", " at ").replace("§", " Paragraph ")
     text = text.replace("°C", " Grad Celsius ")
     text = remove_bracket(text)
@@ -140,7 +118,9 @@ def normalize_german(text: str) -> str:
 
 
 def normalize_english(text: str) -> str:
-    text = re.sub(r"\b\d+\b", lambda m: number_to_words_en(int(m.group())), text)
+    from cosyvoice2_eu_tpu.frontend.tn import normalize_numbers_dates_units
+
+    text = normalize_numbers_dates_units(text, "en")
     text = text.replace("%", " percent ").replace("&", " and ").replace("€", " euros ")
     text = remove_bracket(text)
     return re.sub(r"\s+", " ", text).strip()

@@ -1,0 +1,100 @@
+"""Golden tests for the semiotic-class text normalization cascade.
+
+Pins the WFST-class coverage the reference gets from NeMo TN grammars
+(reference: cli/frontend.py:31-35,322-338): dates, times, currency, decimals,
+percent, fractions, ordinals, roman numerals, measures, phone numbers,
+ranges, cardinals — per language.
+"""
+
+import pytest
+
+from cosyvoice2_eu_tpu.frontend.text import normalize_french, normalize_german, normalize_english
+from cosyvoice2_eu_tpu.frontend.tn import normalize_numbers_dates_units as tn
+
+
+FR_CASES = [
+    ("Le 12/03/2024 à 14h30.", "Le douze mars deux mille vingt-quatre à quatorze heures trente."),
+    ("Il est 1h.", "Il est une heure."),
+    ("Ça coûte 12,50 €.", "Ça coûte douze euros cinquante."),
+    ("Ça coûte 15 €.", "Ça coûte quinze euros."),
+    ("Environ 3,5 % de hausse.", "Environ trois virgule cinq pour cent de hausse."),
+    ("Pi vaut 3,14 environ.", "Pi vaut trois virgule un quatre environ."),
+    ("Le 1er prix et la 2e place.", "Le premier prix et la deuxième place."),
+    ("Au XVe siècle.", "Au quinzième siècle."),
+    ("Louis XIV et François Ier régnaient.", None),  # just no digits left
+    ("Une distance de 5 km.", "Une distance de cinq kilomètres."),
+    ("Appelez le 06 12 34 56 78.", "Appelez le zéro six douze trente-quatre cinquante-six soixante-dix-huit."),
+    ("Entre 10-20 minutes.", "Entre dix à vingt minutes."),
+    ("Il y a 1 234 habitants.", "Il y a mille deux-cent-trente-quatre habitants."),
+    ("Il fait -5 degrés.", "Il fait moins cinq degrés."),
+    ("La moitié vaut 1/2.", "La moitié vaut un demi."),
+]
+
+DE_CASES = [
+    ("Am 12.03.2024 um 14:30 Uhr.", "Am zwölfte März zweitausend vierundzwanzig um vierzehn Uhr dreißig."),
+    ("Es kostet 12,50 €.", "Es kostet zwölf Euro fünfzig."),
+    ("Etwa 3,5 % mehr.", "Etwa drei Komma fünf Prozent mehr."),
+    ("Pi ist 3,14 ungefähr.", "Pi ist drei Komma eins vier ungefähr."),
+    ("Der 3. Versuch.", "Der dritte Versuch."),
+    ("Eine Strecke von 5 km.", "Eine Strecke von fünf Kilometer."),
+    ("Zwischen 10-20 Minuten.", "Zwischen zehn bis zwanzig Minuten."),
+    ("Es gibt 1.234 Einwohner.", "Es gibt eintausend zweihundertvierunddreißig Einwohner."),
+    ("Es sind -5 Grad.", "Es sind minus fünf Grad."),
+    ("Die Hälfte ist 1/2.", "Die Hälfte ist ein halb."),
+    ("Es war 1995.", "Es war eintausend neunhundertfünfundneunzig."),
+]
+
+EN_CASES = [
+    ("It costs $12.50 today.", "It costs twelve dollars fifty cents today."),
+    ("About 3.5 % more.", "About three point five percent more."),
+    ("The 3rd attempt and the 21st day.", "The third attempt and the twenty first day."),
+    ("A distance of 5 km.", "A distance of five kilometers."),
+    ("Between 10-20 minutes.", "Between ten to twenty minutes."),
+    ("There are 1,234,567 people.",
+     "There are one million two hundred thirty-four thousand five hundred sixty-seven people."),
+    ("It is -5 degrees.", "It is minus five degrees."),
+    ("Meet at 14:30 sharp.", "Meet at fourteen thirty sharp."),
+]
+
+
+def _no_digits(s: str) -> bool:
+    return not any(ch.isdigit() for ch in s)
+
+
+@pytest.mark.parametrize("src,want", FR_CASES)
+def test_fr_tn(src, want):
+    got = tn(src, "fr")
+    assert _no_digits(got), got
+    if want is not None:
+        assert got == want
+
+
+@pytest.mark.parametrize("src,want", DE_CASES)
+def test_de_tn(src, want):
+    got = tn(src, "de")
+    assert _no_digits(got), got
+    if want is not None:
+        assert got == want
+
+
+@pytest.mark.parametrize("src,want", EN_CASES)
+def test_en_tn(src, want):
+    got = tn(src, "en")
+    assert _no_digits(got), got
+    if want is not None:
+        assert got == want
+
+
+def test_electronic():
+    assert tn("Écrivez à test@example.com !", "fr") == \
+        "Écrivez à test arobase example point com !"
+    assert "Punkt" in tn("info@firma.de", "de")
+    assert tn("visit www.example.com now", "en") == "visit www dot example dot com now"
+
+
+def test_full_normalizers_leave_no_digits():
+    fr = normalize_french("M. Dupont paie 1 234,56 € le 12/03/2024 à 14h30 au 3e étage.")
+    de = normalize_german("Dr. Meier zahlt 1.234,56 € am 12.03.2024 um 14:30 Uhr, z.B. 50 %.")
+    en = normalize_english("Pay $1,234.56 on the 3rd at 14:30, about 50 %.")
+    for s in (fr, de, en):
+        assert _no_digits(s), s
