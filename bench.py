@@ -51,8 +51,13 @@ def main():
     sr = cfg.sample_rate
 
     # ---- warmup (compile both paths) ----
+    # stream twice: the first pass takes the hybrid cold path (recompute
+    # first chunk) and primes the prompt; the second exercises the fused
+    # warm-path first-emission program
     t0 = time.time()
     audio = np.concatenate(list(model.tts(prompt, stream=False)))
+    for _ in model.tts(prompt, stream=True):
+        pass
     for _ in model.tts(prompt, stream=True):
         pass
     compile_s = time.time() - t0

@@ -185,6 +185,10 @@ class Cosy2EU:
         t0 = time.time()
         self.tts("Bonjour, ceci est un échauffement du serveur.", prompt)
         if stream:
+            # twice: pass 1 takes the hybrid cold path (and primes the
+            # prompt), pass 2 compiles the fused warm-path first emission
+            for _ in self.stream("Hallo, dies ist ein Aufwärmen.", prompt):
+                pass
             for _ in self.stream("Hallo, dies ist ein Aufwärmen.", prompt):
                 pass
         self._model._primed_cache.clear()  # drop the synthetic prompt's state
