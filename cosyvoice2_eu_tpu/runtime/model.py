@@ -643,44 +643,43 @@ class TTSModel:
             (state.step, state.lengths[0], state.finished[0])
         )
 
-        if primed:
-            fstate = clone(self._primed_cache[pk])
+        # FIRST CHUNK VIA RECOMPUTE (primed or not): the single recompute
+        # program over prompt+first-hop (~70 ms on a v5e) beats both the
+        # fused cached first-emission (~160 ms: many small per-(step, stage)
+        # ops are overhead-bound) and prime-then-emit (~0.27 s).  The cached
+        # state catches up behind the already-yielded audio — cached ==
+        # recompute is equality-verified, so the mix is exact.
+        need = this_hop + la
+        if int(n_avail) < need and not bool(finished):
+            target = int(step) + (need - int(n_avail))
+            state = chunk_fn(
+                self.params["llm"], state, pl, min_a, max_a, jnp.asarray(target)
+            )
+            step, n_avail, finished = jax.device_get(
+                (state.step, state.lengths[0], state.finished[0])
+            )
+        if int(n_avail) >= need:
+            first_tokens = np.asarray(state.tokens)[0, :need]
+            with self.timer.stage("first_chunk_recompute"):
+                audio = self._token2wav(
+                    first_tokens, prompt, 0, session, True, False
+                )
+            yield audio
+            fstate = (
+                clone(self._primed_cache[pk]) if primed else prime_state()
+            )
+            # catch the cached state up over the already-emitted region
+            _, fstate = feed(fstate, t_fed, next_feed, materialize=False)
+            t_fed += next_feed
+            emitted_tokens = this_hop
+            this_hop = hop
+            next_feed = hop
         else:
-            # HYBRID COLD START: a never-seen prompt emits its first chunk
-            # through the one-program recompute path (~70 ms on a v5e) while
-            # the cached-flow state primes behind it — priming's many small
-            # per-(step, stage) ops are overhead-bound and would put ~0.27 s
-            # in front of the first audio.  Cached == recompute is
-            # equality-verified, so the mix is exact.
-            need = this_hop + la
-            if int(n_avail) < need and not bool(finished):
-                target = int(step) + (need - int(n_avail))
-                state = chunk_fn(
-                    self.params["llm"], state, pl, min_a, max_a, jnp.asarray(target)
-                )
-                step, n_avail, finished = jax.device_get(
-                    (state.step, state.lengths[0], state.finished[0])
-                )
-            if int(n_avail) >= need:
-                first_tokens = np.asarray(state.tokens)[0, :need]
-                with self.timer.stage("cold_first_recompute"):
-                    audio = self._token2wav(
-                        first_tokens, prompt, 0, session, True, False
-                    )
-                yield audio
-                fstate = prime_state()
-                # catch the cached state up over the already-emitted region
-                _, fstate = feed(fstate, t_fed, next_feed, materialize=False)
-                t_fed += next_feed
-                emitted_tokens = this_hop
-                this_hop = hop
-                next_feed = hop
-            else:
-                # utterance shorter than one hop: the final recompute below
-                # handles it; no cached state needed
-                fstate = init_flow_stream_state(
-                    cfg.flow, self.stream_max_tokens, dtype=dtype
-                )
+            # utterance shorter than one hop: the final recompute below
+            # handles it; no cached state needed
+            fstate = init_flow_stream_state(
+                cfg.flow, self.stream_max_tokens, dtype=dtype
+            )
         while True:
             need_gen = t_fed + next_feed + la - P
             if need_gen > 0 and int(n_avail) < need_gen and not bool(finished):
