@@ -1,0 +1,129 @@
+"""Disk-backed AOT executable store: second-process cold start in seconds.
+
+XLA's persistent compilation cache skips compiles but still pays Python
+tracing/lowering — minutes for the big decode/flow programs on a small host.
+This store serializes the COMPILED executables
+(jax.experimental.serialize_executable) keyed by stage name + argument
+shapes/dtypes + device kind + a source-mtime salt, so a fresh process loads
+and runs them with no tracing at all.  This is the role the reference's
+TRT/TorchScript artifacts play (reference: cli/model.py:100-116, 285-287).
+
+Enabled by default; set COSY_AOT_CACHE=off to disable, or point it at a
+directory (default /tmp/cosy_aot). The salt auto-invalidates entries when any
+package source file changes.
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+import logging
+import os
+import pickle
+import threading
+
+import jax
+
+logger = logging.getLogger(__name__)
+
+
+@functools.lru_cache(maxsize=1)
+def _source_salt() -> str:
+    """Newest mtime across package sources: code changes invalidate entries."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    newest = 0.0
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if f.endswith(".py"):
+                try:
+                    newest = max(newest, os.path.getmtime(os.path.join(dirpath, f)))
+                except OSError:
+                    pass
+    return f"{newest:.0f}"
+
+
+def cache_dir() -> str | None:
+    val = os.environ.get("COSY_AOT_CACHE", "/tmp/cosy_aot")
+    if val.lower() in ("off", "0", "none", ""):
+        return None
+    return val
+
+
+def _arg_sig(args) -> str:
+    leaves, treedef = jax.tree.flatten(args)
+    parts = [str(treedef)]
+    for leaf in leaves:
+        shape = getattr(leaf, "shape", ())
+        dtype = getattr(leaf, "dtype", type(leaf).__name__)
+        parts.append(f"{shape}{dtype}")
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:24]
+
+
+class AotFunction:
+    """jit wrapper that persists/loads its compiled executable per arg-shape."""
+
+    def __init__(self, name: str, fn, donate_argnums=(), static_argnames=None):
+        self.name = name
+        self._jit = jax.jit(
+            fn, donate_argnums=donate_argnums,
+            static_argnames=static_argnames or (),
+        )
+        self._execs: dict = {}
+        self._lock = threading.Lock()
+
+    def _path(self, sig: str) -> str | None:
+        d = cache_dir()
+        if d is None:
+            return None
+        dev = jax.devices()[0]
+        if dev.platform == "cpu":
+            # CPU AOT results are machine-feature sensitive (SIGILL risk when
+            # the compile service's microarch differs); persistence is for the
+            # accelerator serving path
+            return None
+        kind = dev.device_kind.replace(" ", "_")
+        return os.path.join(d, f"{self.name}-{kind}-{_source_salt()}-{sig}.aot")
+
+    def __call__(self, *args):
+        sig = _arg_sig(args)
+        ex = self._execs.get(sig)
+        if ex is not None:
+            return ex(*args)
+        with self._lock:
+            ex = self._execs.get(sig)
+            if ex is None:
+                ex = self._load_or_build(sig, args)
+                self._execs[sig] = ex
+        return ex(*args)
+
+    def _load_or_build(self, sig: str, args):
+        path = self._path(sig)
+        if path and os.path.exists(path):
+            try:
+                from jax.experimental.serialize_executable import deserialize_and_load
+
+                with open(path, "rb") as f:
+                    payload, in_tree, out_tree = pickle.load(f)
+                logger.info("aot: loaded %s", os.path.basename(path))
+                return deserialize_and_load(payload, in_tree, out_tree)
+            except Exception as e:  # corrupted/incompatible: rebuild
+                logger.warning("aot: failed to load %s (%s); recompiling", path, e)
+        compiled = self._jit.lower(*args).compile()
+        if path:
+            try:
+                from jax.experimental.serialize_executable import serialize
+
+                payload, in_tree, out_tree = serialize(compiled)
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                tmp = path + f".tmp{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    pickle.dump((payload, in_tree, out_tree), f)
+                os.replace(tmp, path)
+                logger.info("aot: saved %s", os.path.basename(path))
+            except Exception as e:  # serialization unsupported on backend
+                logger.info("aot: not persisting %s (%s)", self.name, e)
+        return compiled
+
+
+def aot_jit(name: str, fn, donate_argnums=(), static_argnames=None) -> AotFunction:
+    return AotFunction(name, fn, donate_argnums, static_argnames)

@@ -28,6 +28,7 @@ import numpy as np
 
 from cosyvoice2_eu_tpu.config import TTSConfig
 from cosyvoice2_eu_tpu.models import llm as llm_mod
+from cosyvoice2_eu_tpu.runtime.aot_cache import aot_jit
 from cosyvoice2_eu_tpu.models.flow import flow_inference
 from cosyvoice2_eu_tpu.models.hift import hift_inference
 
@@ -135,14 +136,14 @@ class TTSModel:
                 params, self.cfg.llm, ids, src, prompt_len, min_len, max_len, rng, max_gen
             )
 
-        return jax.jit(fn)
+        return aot_jit(f"lm_decode_p{p_bucket}_g{max_gen}", fn)
 
     @functools.lru_cache(maxsize=32)
     def _lm_prefill_fn(self, p_bucket: int, max_gen: int):
         def fn(params, ids, src, prompt_len, rng):
             return llm_mod.lm_prefill(params, self.cfg.llm, ids, src, prompt_len, rng, max_gen)
 
-        return jax.jit(fn)
+        return aot_jit(f"lm_prefill_p{p_bucket}_g{max_gen}", fn)
 
     @functools.lru_cache(maxsize=32)
     def _lm_prefill_chunk_fn(self, p_bucket: int, max_gen: int):
@@ -157,7 +158,7 @@ class TTSModel:
                 p_bucket, target_step,
             )
 
-        return jax.jit(fn)
+        return aot_jit(f"lm_prefill_chunk_p{p_bucket}_g{max_gen}", fn)
 
     @functools.lru_cache(maxsize=32)
     def _lm_chunk_fn(self, p_bucket: int):
@@ -166,7 +167,7 @@ class TTSModel:
                 params, self.cfg.llm, state, prompt_len, min_len, max_len, p_bucket, target_step
             )
 
-        return jax.jit(fn)
+        return aot_jit(f"lm_chunk_p{p_bucket}", fn)
 
     @functools.lru_cache(maxsize=64)
     def _flow_fn(self, tok_bucket: int, streaming: bool, finalize: bool):
@@ -176,7 +177,7 @@ class TTSModel:
                 embedding, streaming=streaming, finalize=finalize,
             )
 
-        return jax.jit(fn)
+        return aot_jit(f"flow_t{tok_bucket}_s{int(streaming)}_f{int(finalize)}", fn)
 
     def _get_stream_params(self):
         if self._stream_params is None:
@@ -195,7 +196,7 @@ class TTSModel:
             return flow_chunk(sparams, self.cfg.flow, state, tok, ctx, emb, cond)
 
         # donate the (large) cache state so each chunk updates in place
-        return jax.jit(fn, donate_argnums=(1,))
+        return aot_jit(f"flow_chunk_n{n}", fn, donate_argnums=(1,))
 
     @functools.lru_cache(maxsize=8)
     def _first_chunk_fused_fn(self, n_feed: int, emit_frames: int):
@@ -225,7 +226,7 @@ class TTSModel:
                 emit,
             )
 
-        return jax.jit(fn, donate_argnums=(1,))
+        return aot_jit(f"first_chunk_fused_n{n_feed}_e{emit_frames}", fn, donate_argnums=(1,))
 
     # feed sizes for priming the prompt through the cached flow: fewest
     # dispatches while keeping a small compiled-program set
@@ -249,7 +250,7 @@ class TTSModel:
                 cache_len=cache_len if with_cache else None,
             )
 
-        return jax.jit(fn)
+        return aot_jit(f"hift_m{mel_bucket}_c{int(with_cache)}", fn)
 
     # ------------------------------------------------------------------
     # host-side helpers
