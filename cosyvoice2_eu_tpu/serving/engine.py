@@ -282,3 +282,51 @@ class TTSEngine:
                     self.state = self.state._replace(
                         active=self.state.active.at[slot].set(False)
                     )
+
+
+class EngineAPI:
+    """Cosy2EU-compatible facade that serves through the batching engine.
+
+    Drop-in for the servers: same tts/stream surface, but concurrent
+    requests share the slot-batched LM decode instead of queueing behind a
+    single session (serving/http_server.py --engine-slots).
+    """
+
+    def __init__(self, api, n_slots: int = 4, **engine_kwargs):
+        self._api = api
+        self._frontend = api._frontend
+        self.sample_rate = api.sample_rate
+        self.engine = TTSEngine(api._model, n_slots=n_slots, **engine_kwargs)
+
+    def _inputs(self, text, prompt, prompt_text, mode, instruct_text, **precomputed):
+        art = self._api._prepare(prompt, prompt_text, **precomputed)
+        fe = self._frontend
+        if mode == "instruct2":
+            return fe.frontend_instruct2(text, instruct_text, art)
+        build = {
+            "zero_shot": fe.frontend_zero_shot,
+            "cross_lingual": fe.frontend_cross_lingual,
+        }[mode]
+        return build(text, art)
+
+    def stream(self, text, prompt, *, prompt_text: str = "", speed: float = 1.0,
+               text_frontend: bool = False, mode: str = "cross_lingual",
+               instruct_text: str = "", **precomputed):
+        segments = (
+            self._frontend.normalize_text(text, split=True) if text_frontend else [text]
+        )
+        for seg in segments:
+            inputs = self._inputs(seg, prompt, prompt_text, mode, instruct_text,
+                                  **precomputed)
+            for chunk in self.engine.submit(inputs):
+                yield chunk[None]
+
+    def tts(self, text, prompt, **kw):
+        chunks = [c[0] for c in self.stream(text, prompt, **kw)]
+        return np.concatenate(chunks)[None], self.sample_rate
+
+    def add_zero_shot_spk(self, prompt_text, prompt, spk_id):
+        return self._api.add_zero_shot_spk(prompt_text, prompt, spk_id)
+
+    def close(self):
+        self.engine.close()

@@ -157,8 +157,17 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--port", type=int, default=50000)
     parser.add_argument("--model-dir", type=str, default=None)
+    parser.add_argument(
+        "--engine-slots", type=int, default=0,
+        help="serve through the continuous-batching engine with N LM slots "
+        "(0 = per-request sequential, the reference's behavior)",
+    )
     args = parser.parse_args()
     model = cosy.load(model_dir=args.model_dir)
+    if args.engine_slots > 0:
+        from cosyvoice2_eu_tpu.serving.engine import EngineAPI
+
+        model = EngineAPI(model, n_slots=args.engine_slots)
     try:
         import uvicorn
 

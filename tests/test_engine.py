@@ -104,3 +104,27 @@ def test_engine_session_matches_offline(model):
         assert 0 < n_tokens <= 64
     finally:
         engine.close()
+
+
+def test_engine_api_facade():
+    """EngineAPI: Cosy2EU-compatible surface over the batching engine."""
+    import cosyvoice2_eu_tpu as cosy
+    from cosyvoice2_eu_tpu.serving.engine import EngineAPI
+
+    api = cosy.load(config=CFG, seed=0)
+    eng = EngineAPI(api, n_slots=2, chunk_steps=16, max_cache=256, max_gen=64)
+    rng = np.random.default_rng(0)
+    n_sp = 6
+    prompt = {
+        "prompt_feat": rng.standard_normal((n_sp * 2, CFG.flow.output_size)).astype(np.float32),
+        "speech_tokens": rng.integers(0, CFG.llm.speech_token_size, n_sp).astype(np.int32),
+        "embedding": rng.standard_normal(CFG.frontend.spk_embed_dim).astype(np.float32),
+        "prompt_text": "",
+    }
+    try:
+        wav, sr = eng.tts("bonjour le monde", prompt)
+        assert wav.shape[0] == 1 and wav.shape[1] > 0 and np.isfinite(wav).all()
+        chunks = list(eng.stream("hallo welt", prompt))
+        assert chunks and all(c.shape[0] == 1 for c in chunks)
+    finally:
+        eng.close()
