@@ -391,4 +391,16 @@ def load(
         speech_tokenizer_fn=speech_tokenizer_fn,
         spk_embedding_fn=spk_embedding_fn,
     )
+    if model_dir is not None:
+        # cached-speaker store (reference spk2info.pt, frontend.py:199-202)
+        for name in ("spk2info.pt", "spk2info.npz"):
+            spk_path = os.path.join(model_dir, name)
+            if os.path.exists(spk_path):
+                try:
+                    frontend.load_spk_info(spk_path)
+                except Exception:
+                    import logging
+
+                    logging.exception("failed to load %s", spk_path)
+                break
     return Cosy2EU(model, frontend, cfg)

@@ -198,6 +198,34 @@ class Frontend:
         np.savez(path, **flat)
 
     def load_spk_info(self, path: str) -> None:
+        """Load a speaker store: our .npz format or the reference's
+        spk2info.pt (torch dict of per-speaker artifact dicts,
+        frontend.py:199-202)."""
+        if path.endswith(".pt"):
+            import torch
+
+            data = torch.load(path, map_location="cpu", weights_only=False)
+            for spk, art in data.items():
+                out = {}
+                for k, v in art.items():
+                    arr = v.numpy() if hasattr(v, "numpy") else v
+                    # reference keys -> our artifact names
+                    key = {
+                        "speech_feat": "prompt_feat",
+                        "speech_token": "speech_tokens",
+                        "llm_embedding": "embedding",
+                        "flow_embedding": "embedding",
+                    }.get(k, k)
+                    if hasattr(arr, "squeeze") and getattr(arr, "ndim", 0) > 1 and key in (
+                        "speech_tokens", "embedding",
+                    ):
+                        arr = arr.squeeze(0) if arr.shape[0] == 1 else arr
+                    if key == "prompt_feat" and getattr(arr, "ndim", 0) == 3:
+                        arr = arr[0]
+                    out[key] = arr
+                out.setdefault("prompt_text", "")
+                self.spk_info[spk] = out
+            return
         data = np.load(path, allow_pickle=False)
         for key in data.files:
             parts = key.split("::")

@@ -51,3 +51,40 @@ def test_zero_shot_spk_cache(shim):
 def test_instruct_raises(shim):
     with pytest.raises(NotImplementedError):
         shim.inference_instruct()
+
+
+def test_spk2info_pt_roundtrip(tmp_path):
+    """The reference's spk2info.pt speaker store loads into our frontend
+    (reference frontend.py:199-202 key names map onto prompt artifacts)."""
+    import torch
+
+    from cosyvoice2_eu_tpu.config import tiny_test_config
+    from cosyvoice2_eu_tpu.frontend.frontend import Frontend
+
+    cfg = tiny_test_config()
+    rng = np.random.default_rng(0)
+    n_sp = 6
+    data = {
+        "alice": {
+            "speech_feat": torch.from_numpy(
+                rng.standard_normal((1, n_sp * 2, cfg.flow.output_size)).astype(np.float32)
+            ),
+            "speech_token": torch.from_numpy(
+                rng.integers(0, 80, (1, n_sp)).astype(np.int64)
+            ),
+            "llm_embedding": torch.from_numpy(
+                rng.standard_normal((1, cfg.frontend.spk_embed_dim)).astype(np.float32)
+            ),
+            "prompt_text": "bonjour",
+        }
+    }
+    path = tmp_path / "spk2info.pt"
+    torch.save(data, str(path))
+
+    fe = Frontend(cfg)
+    fe.load_spk_info(str(path))
+    art = fe.get_spk("alice")
+    assert art["prompt_feat"].shape == (n_sp * 2, cfg.flow.output_size)
+    assert art["speech_tokens"].shape == (n_sp,)
+    assert art["embedding"].shape == (cfg.frontend.spk_embed_dim,)
+    assert art["prompt_text"] == "bonjour"
