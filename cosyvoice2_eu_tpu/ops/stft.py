@@ -32,9 +32,20 @@ def hann_window(win_size: int, dtype=np.float32) -> np.ndarray:
 
 
 def frame(x: jnp.ndarray, frame_length: int, hop: int) -> jnp.ndarray:
-    """(..., T) -> (..., n_frames, frame_length) by strided gather."""
+    """(..., T) -> (..., n_frames, frame_length).
+
+    When hop divides frame_length (both HiFT's 16/4 and the mel 1920/480),
+    framing is reshape + r shifted slices + concat — no gather.  TPU gathers
+    serialize; the gather form made the HiFT head scale with n_frames and
+    dominated vocoder time."""
     T = x.shape[-1]
     n_frames = 1 + (T - frame_length) // hop
+    if frame_length % hop == 0:
+        r = frame_length // hop
+        usable = n_frames + r - 1
+        blocks = x[..., : usable * hop].reshape(x.shape[:-1] + (usable, hop))
+        parts = [blocks[..., j : j + n_frames, :] for j in range(r)]
+        return jnp.concatenate(parts, axis=-1)
     idx = np.arange(n_frames)[:, None] * hop + np.arange(frame_length)[None, :]
     return x[..., idx]
 
@@ -111,11 +122,23 @@ def istft(
     batch_shape = frames.shape[:-2]
     flat = frames.reshape((-1, n_frames, n_fft))
 
-    # overlap-add via scatter-add over static indices
-    idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
-    idx_flat = jnp.asarray(idx.reshape(-1))
-    sig = jnp.zeros((flat.shape[0], out_len), flat.dtype)
-    sig = sig.at[:, idx_flat].add(flat.reshape(flat.shape[0], -1))
+    if n_fft % hop == 0:
+        # scatter-free overlap-add: split frames into hop-blocks and sum r
+        # shifted slabs (TPU scatters serialize; this is pure pad + add)
+        r = n_fft // hop
+        fr = flat.reshape(flat.shape[0], n_frames, r, hop)
+        sig_blocks = jnp.zeros((flat.shape[0], n_frames + r - 1, hop), flat.dtype)
+        for j in range(r):
+            sig_blocks = sig_blocks + jnp.pad(
+                fr[:, :, j, :], ((0, 0), (j, r - 1 - j), (0, 0))
+            )
+        sig = sig_blocks.reshape(flat.shape[0], out_len)
+    else:
+        # overlap-add via scatter-add over static indices
+        idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
+        idx_flat = jnp.asarray(idx.reshape(-1))
+        sig = jnp.zeros((flat.shape[0], out_len), flat.dtype)
+        sig = sig.at[:, idx_flat].add(flat.reshape(flat.shape[0], -1))
 
     # window envelope normalization (NOLA); window must be host-concrete
     wsq = np.zeros(out_len, dtype=np.float32)
