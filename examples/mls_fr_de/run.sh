@@ -10,6 +10,11 @@
 #  4  train the HiFT vocoder (GAN)
 #  5  average top-5 checkpoints by CV loss and export finals
 #  6  evaluate (RTF + objective metrics)
+#
+# Knobs: FINETUNE=lora|dpo adds the fine-tuning mode to stage 2 (DPO needs
+# reject_speech_token columns in the parquet); WANDB=1 logs to W&B; multi-host
+# runs set JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/JAX_PROCESS_ID per host
+# (data shards split by process rank automatically).
 set -euo pipefail
 
 stage=${1:-0}
@@ -62,9 +67,15 @@ fi
 
 if [ "$stage" -le 2 ] && [ "$stop_stage" -ge 2 ]; then
   echo "stage 2: train LM"
+  finetune_flags=""
+  case "${FINETUNE:-}" in
+    lora) finetune_flags="--lora" ;;
+    dpo)  finetune_flags="--dpo" ;;
+  esac
   python -m cosyvoice2_eu_tpu.train.train --model llm \
     --train_data "$data_root/train.list" --cv_data "$data_root/cv.list" \
-    --model_dir "$exp/llm-$lang" --resume
+    --model_dir "$exp/llm-$lang" --resume \
+    ${WANDB:+--wandb} $finetune_flags
 fi
 
 if [ "$stage" -le 3 ] && [ "$stop_stage" -ge 3 ]; then
@@ -89,7 +100,9 @@ if [ "$stage" -le 5 ] && [ "$stop_stage" -ge 5 ]; then
 fi
 
 if [ "$stage" -le 6 ] && [ "$stop_stage" -ge 6 ]; then
-  echo "stage 6: evaluate"
-  python -m cosyvoice2_eu_tpu.eval.run_eval \
-    --dataset "$data_root/test" --out "$exp/eval-$lang" --language "$lang"
+  echo "stage 6: evaluate (hours x setting matrix + charts)"
+  python -m cosyvoice2_eu_tpu.eval.pipeline \
+    --config examples/eval_config.yaml \
+    --dataset "$data_root/test" --language "$lang"
+  python -m cosyvoice2_eu_tpu.eval.report --results-dir eval_results --language "$lang"
 fi
