@@ -246,9 +246,18 @@ class TTSEngine:
                     try:
                         self._admit(req, slot)
                         admitted = True
-                    except Exception as e:  # surface on the handle
-                        req.failed = str(e)
-                        req.out.put(None)
+                    except Exception as e:
+                        # transient backend failures (e.g. a remote-compile
+                        # transport hiccup) get one retry before surfacing
+                        import time as _time
+
+                        _time.sleep(1.0)
+                        try:
+                            self._admit(req, slot)
+                            admitted = True
+                        except Exception:
+                            req.failed = str(e)
+                            req.out.put(None)
             active = [r for r in self._slots if r is not None]
             if not active:
                 if self._pending.empty() and not admitted:
