@@ -121,14 +121,20 @@ def _layer_forward(lp, cfg: Qwen2Config, x, cos, sin, bias, kv=None, layer_idx=0
     if kv is not None:
         if getattr(write_at, "ndim", 0):
             # per-row slot positions (continuous-batching decode): each batch
-            # row writes its single new K/V at its own cache index
-            b_idx = jnp.arange(b)
-            k_cache = kv.k[layer_idx].at[b_idx, :, write_at, :].set(
-                k[:, :, 0, :].astype(kv.k.dtype)
-            )
-            v_cache = kv.v[layer_idx].at[b_idx, :, write_at, :].set(
-                v[:, :, 0, :].astype(kv.v.dtype)
-            )
+            # row writes its single new K/V at its own cache index.  Unrolled
+            # dynamic_update_slice per row — n_slots is small and static, and
+            # a gather/scatter formulation compiles poorly on TPU.
+            k_cache, v_cache = kv.k[layer_idx], kv.v[layer_idx]
+            for row in range(b):
+                idx = write_at[row]
+                k_cache = jax.lax.dynamic_update_slice(
+                    k_cache, k[row : row + 1, :, :, :].astype(kv.k.dtype),
+                    (row, 0, idx, 0),
+                )
+                v_cache = jax.lax.dynamic_update_slice(
+                    v_cache, v[row : row + 1, :, :, :].astype(kv.v.dtype),
+                    (row, 0, idx, 0),
+                )
         else:
             k_cache = jax.lax.dynamic_update_slice(
                 kv.k[layer_idx], k.astype(kv.k.dtype), (0, 0, write_at, 0)
