@@ -565,7 +565,7 @@ def slots_decode(params, cfg: LMConfig, state: SlotState, k_steps: int) -> SlotS
     max_gen = state.tokens.shape[1]
     slot_idx = jnp.arange(max_cache, dtype=jnp.int32)[None, :]
 
-    def body(_, st: SlotState):
+    def step_body(st: SlotState) -> SlotState:
         run = st.active & (~st.finished)
         logits = dense(params["llm_decoder"], st.last_hidden).astype(jnp.float32)
         logp = jax.nn.log_softmax(logits, axis=-1)
@@ -610,4 +610,15 @@ def slots_decode(params, cfg: LMConfig, state: SlotState, k_steps: int) -> SlotS
                          last_hidden, gen_step, st.base, st.prompt_len,
                          st.min_len, st.max_len, rng)
 
-    return jax.lax.fori_loop(0, k_steps, body, state)
+    # while_loop with an early-exit condition (the same structure as
+    # lm_decode): stops as soon as no slot can make progress
+    def cond(carry):
+        i, st = carry
+        return (i < k_steps) & jnp.any(st.active & (~st.finished))
+
+    def body(carry):
+        i, st = carry
+        return i + 1, step_body(st)
+
+    _, state = jax.lax.while_loop(cond, body, (jnp.zeros((), jnp.int32), state))
+    return state

@@ -121,20 +121,17 @@ def _layer_forward(lp, cfg: Qwen2Config, x, cos, sin, bias, kv=None, layer_idx=0
     if kv is not None:
         if getattr(write_at, "ndim", 0):
             # per-row slot positions (continuous-batching decode): each batch
-            # row writes its single new K/V at its own cache index.  Unrolled
-            # dynamic_update_slice per row — n_slots is small and static, and
-            # a gather/scatter formulation compiles poorly on TPU.
-            k_cache, v_cache = kv.k[layer_idx], kv.v[layer_idx]
-            for row in range(b):
-                idx = write_at[row]
-                k_cache = jax.lax.dynamic_update_slice(
-                    k_cache, k[row : row + 1, :, :, :].astype(kv.k.dtype),
-                    (row, 0, idx, 0),
-                )
-                v_cache = jax.lax.dynamic_update_slice(
-                    v_cache, v[row : row + 1, :, :, :].astype(kv.v.dtype),
-                    (row, 0, idx, 0),
-                )
+            # row writes its single new K/V at its own cache index.  One-hot
+            # masked write — pure broadcast select, the TPU-friendliest form
+            # (scatter and unrolled DUS both stressed the compiler here).
+            slot_pos = jnp.arange(kv.k.shape[3], dtype=jnp.int32)
+            onehot = (slot_pos[None, :] == write_at[:, None])[:, None, :, None]
+            k_cache = jnp.where(
+                onehot, k[:, :, 0, :][:, :, None, :].astype(kv.k.dtype), kv.k[layer_idx]
+            )
+            v_cache = jnp.where(
+                onehot, v[:, :, 0, :][:, :, None, :].astype(kv.v.dtype), kv.v[layer_idx]
+            )
         else:
             k_cache = jax.lax.dynamic_update_slice(
                 kv.k[layer_idx], k.astype(kv.k.dtype), (0, 0, write_at, 0)
