@@ -172,11 +172,12 @@ class TTSEngine:
             cfgl, n_slots, max_cache, self.max_gen, jax.random.key(model.seed + 17),
             dtype=dtype,
         )
+        # params are ARGUMENTS, never closures: closed-over params inline as
+        # HLO constants (gigabytes in the compile request -> HTTP 413 on the
+        # remote compile service, minutes of lowering)
         self._decode = jax.jit(
-            lambda st: llm_mod.slots_decode(
-                model.params["llm"], cfgl, st, chunk_steps
-            ),
-            donate_argnums=(0,),
+            lambda params, st: llm_mod.slots_decode(params, cfgl, st, chunk_steps),
+            donate_argnums=(1,),
         )
         self._prefill_cache: dict = {}
         self._pending: "queue.Queue[_Request]" = queue.Queue()
@@ -210,11 +211,10 @@ class TTSEngine:
     def _prefill_fn(self, p_bucket: int):
         if p_bucket not in self._prefill_cache:
             self._prefill_cache[p_bucket] = jax.jit(
-                lambda st, slot, ids, src, pl, mn, mx: llm_mod.slot_prefill(
-                    self.model.params["llm"], self.cfg.llm, st, slot, ids, src,
-                    pl, mn, mx,
+                lambda params, st, slot, ids, src, pl, mn, mx: llm_mod.slot_prefill(
+                    params, self.cfg.llm, st, slot, ids, src, pl, mn, mx,
                 ),
-                donate_argnums=(0,),
+                donate_argnums=(1,),
             )
         return self._prefill_cache[p_bucket]
 
@@ -224,7 +224,7 @@ class TTSEngine:
         if p_bucket >= self.state.kv.k.shape[3]:
             raise ValueError(f"prompt bucket {p_bucket} exceeds engine cache")
         self.state = self._prefill_fn(p_bucket)(
-            self.state, jnp.asarray(slot, jnp.int32), jnp.asarray(ids),
+            model.params["llm"], self.state, jnp.asarray(slot, jnp.int32), jnp.asarray(ids),
             jnp.asarray(src), jnp.asarray(prompt_len, jnp.int32),
             jnp.asarray(min_len, jnp.int32),
             jnp.asarray(min(max_len, self.max_gen), jnp.int32),
@@ -268,7 +268,7 @@ class TTSEngine:
                         continue
                 continue
 
-            self.state = self._decode(self.state)
+            self.state = self._decode(self.model.params["llm"], self.state)
             tokens, lengths, finished = jax.device_get(
                 (self.state.tokens, self.state.lengths, self.state.finished)
             )
