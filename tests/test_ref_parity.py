@@ -88,3 +88,53 @@ def test_llm_logits_parity(tmp_path):
     speech = rng.integers(0, cfg.speech_token_size, 11).astype(np.int32)
     report = rv.llm_logits_parity(ref, cfg, text, speech)
     assert report["ok"], report
+
+
+def test_lm_training_loss_parity(tmp_path):
+    """Full training objective vs the reference: Qwen2LM.forward's
+    prepare_lm_input_target + label-smoothing CE + accuracy must equal
+    lm_loss_fn over build_lm_batch (unistream rows: speech/text ratio < 3
+    makes the reference's choice deterministic, llm.py:445)."""
+    import torch
+
+    from cosyvoice2_eu_tpu.config import TrainConfig
+    from cosyvoice2_eu_tpu.parallel.train_step import lm_loss_fn
+    from cosyvoice2_eu_tpu.runtime.checkpoint import convert_llm
+    from cosyvoice2_eu_tpu.train.sequences import build_lm_batch
+
+    cfg = tiny_test_config().llm
+    rv.make_tiny_qwen_dir(cfg, str(tmp_path / "qwen"))
+    torch.manual_seed(6)
+    ref = rv.build_ref_qwen2lm(cfg, str(tmp_path / "qwen"))
+    params = convert_llm(rv.state_dict_numpy(ref), cfg)
+
+    rng = np.random.default_rng(7)
+    texts = [rng.integers(2, cfg.backbone.vocab_size, 6 + i).astype(np.int32) for i in range(3)]
+    speeches = [rng.integers(0, cfg.speech_token_size, 12 + 2 * i).astype(np.int32) for i in range(3)]
+
+    t_max = max(len(t) for t in texts)
+    s_max = max(len(s) for s in speeches)
+    ref_batch = {
+        "text_token": torch.stack([
+            torch.from_numpy(np.pad(t, (0, t_max - len(t)))).long() for t in texts
+        ]),
+        "text_token_len": torch.tensor([len(t) for t in texts], dtype=torch.int32),
+        "speech_token": torch.stack([
+            torch.from_numpy(np.pad(s, (0, s_max - len(s)))).long() for s in speeches
+        ]),
+        "speech_token_len": torch.tensor([len(s) for s in speeches], dtype=torch.int32),
+    }
+    with torch.inference_mode():
+        out = ref.forward(ref_batch, torch.device("cpu"))
+    want_loss, want_acc = float(out["loss"]), float(out["acc"])
+
+    import jax.numpy as jnp
+
+    batch = build_lm_batch(texts, speeches, cfg, np.random.default_rng(0),
+                           bistream_prob=0.0, pad_to=64)
+    loss, metrics = lm_loss_fn(
+        {k: v for k, v in params.items()}, cfg,
+        {k: jnp.asarray(v) for k, v in batch.items()}, TrainConfig(),
+    )
+    assert abs(float(loss) - want_loss) < 1e-3, (float(loss), want_loss)
+    assert abs(float(metrics["acc"]) - want_acc) < 1e-6
