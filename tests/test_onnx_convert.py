@@ -290,3 +290,43 @@ def test_campplus_convert_cosine(tmp_path, infer_cfg):
     cos = float(np.dot(ref, out) / (np.linalg.norm(ref) * np.linalg.norm(out)))
     assert cos > 0.9999
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_executor_op_matrix(tmp_path):
+    """Spot-check executor ops real exports rely on that the model graphs
+    don't exercise: Gemm transB+beta, Slice with INT_MAX end and negative
+    axis, Split, Pad reflect, Clip, Where/Equal/Cast chains, Pow."""
+    g = GraphBuilder()
+    x = "x"  # (2, 6) float32
+    # Gemm: y = 0.5 * x @ W^T + 2.0 * bias_row
+    w = g.init(np.arange(12, dtype=np.float32).reshape(2, 6))
+    c = g.init(np.ones((2, 2), np.float32))
+    gemm = g.add("Gemm", [x, w, c], alpha=0.5, beta=2.0, transB=1)
+    # Slice last axis [1:INT_MAX]
+    sl = g.add("Slice", [x, g.init(_i64([1])), g.init(_i64([2147483647])),
+                         g.init(_i64([-1])), g.init(_i64([1]))])
+    # Split into 2 along axis 1
+    s1, s2 = g.add("Split", [x], n_out=2, axis=1, num_outputs=2)
+    pad = g.add("Pad", [x, g.init(_i64([0, 1, 0, 1]))], mode=b"reflect")
+    cl = g.add("Clip", [x, g.init(_f32(-0.5)), g.init(_f32(0.5))])
+    eq = g.add("Equal", [x, g.init(_f32(0.0))])
+    wh = g.add("Where", [eq, g.init(_f32(9.0)), x])
+    pw = g.add("Pow", [x, g.init(_f32(2.0))])
+    cast = g.add("Cast", [pw], to=6)  # int32
+    path = g.save(str(tmp_path / "ops.onnx"),
+                  ["x"], [gemm, sl, s1, s2, pad, cl, wh, cast])
+
+    model = load_onnx(path)
+    xv = np.linspace(-1.5, 1.5, 12, dtype=np.float32).reshape(2, 6)
+    outs = run_graph(model, {"x": xv})
+    np.testing.assert_allclose(
+        outs[0], 0.5 * (xv @ np.arange(12, dtype=np.float32).reshape(2, 6).T) + 2.0,
+        rtol=1e-6)
+    np.testing.assert_allclose(outs[1], xv[:, 1:])
+    np.testing.assert_allclose(outs[2], xv[:, :3])
+    np.testing.assert_allclose(outs[3], xv[:, 3:])
+    np.testing.assert_allclose(outs[4], np.pad(xv, ((0, 0), (1, 1)), mode="reflect"))
+    np.testing.assert_allclose(outs[5], np.clip(xv, -0.5, 0.5))
+    np.testing.assert_allclose(outs[6], np.where(xv == 0.0, 9.0, xv))
+    assert outs[7].dtype == np.int32
+    np.testing.assert_allclose(outs[7], (xv ** 2).astype(np.int32))
