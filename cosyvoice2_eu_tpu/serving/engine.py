@@ -310,8 +310,12 @@ class EngineAPI:
     def __init__(self, api, n_slots: int = 4, **engine_kwargs):
         self._api = api
         self._frontend = api._frontend
+        self._model = api._model  # direct-path fallback for non-engine routes
         self.sample_rate = api.sample_rate
         self.engine = TTSEngine(api._model, n_slots=n_slots, **engine_kwargs)
+
+    def _prepare(self, prompt, prompt_text: str = "", **precomputed):
+        return self._api._prepare(prompt, prompt_text, **precomputed)
 
     def _inputs(self, text, prompt, prompt_text, mode, instruct_text, **precomputed):
         art = self._api._prepare(prompt, prompt_text, **precomputed)

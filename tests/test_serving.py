@@ -111,3 +111,30 @@ def test_http_server_roundtrip(api):
         assert len(data) > 0 and len(data) % 2 == 0
     finally:
         server.shutdown()
+
+
+def test_http_routes_through_engine(api):
+    """--engine-slots wiring: the HTTP route handlers run unchanged over the
+    EngineAPI facade (zero_shot + sft through the batching engine)."""
+    from cosyvoice2_eu_tpu.serving.engine import EngineAPI
+    from cosyvoice2_eu_tpu.serving.http_server import _routes
+
+    _patch_frontend(api)
+    eng = EngineAPI(api, n_slots=1, chunk_steps=16, max_cache=256, max_gen=64)
+    try:
+        routes = _routes(eng)
+        wav_bytes = _prompt_wav_bytes()
+        pcm = b"".join(routes["/inference_zero_shot"]("bonjour", "salut", wav_bytes))
+        assert len(pcm) > 0 and len(pcm) % 2 == 0
+
+        eng.add_zero_shot_spk("salut", _prompt_wav_bytes_to_array(wav_bytes), "spk_a")
+        pcm2 = b"".join(routes["/inference_sft"]("hallo", "spk_a"))
+        assert len(pcm2) > 0
+    finally:
+        eng.close()
+
+
+def _prompt_wav_bytes_to_array(data: bytes) -> np.ndarray:
+    from cosyvoice2_eu_tpu.serving.http_server import _decode_wav_bytes
+
+    return _decode_wav_bytes(data)
