@@ -160,6 +160,18 @@ def fr_rules() -> List[Rule]:
     sym = "|".join(re.escape(s) for s in _FR_CURRENCIES)
     rules.append((re.compile(rf"(?P<a>\d[\d\s .]*(?:,\d+)?)\s?(?P<c>{sym})"), cur))
     rules.append((re.compile(rf"(?P<c>{sym})\s?(?P<a>\d+(?:[.,]\d+)?)"), cur))
+    # units accept decimals ("3,5 km") and run before the decimal rule
+    def unit(m):
+        amount = m.group(1).strip()
+        u = m.group(2).lower()
+        sing, plur = _FR_UNITS[u]
+        if "," in amount:
+            return _fr_decimal_words(amount) + " " + plur
+        n = _int_of(amount)
+        return w(n) + " " + (plur if n > 1 else sing)
+
+    unit_pat = "|".join(re.escape(u) for u in sorted(_FR_UNITS, key=len, reverse=True))
+    rules.append((re.compile(rf"\b(\d[\d\s .]*(?:,\d+)?)\s?({unit_pat})\b", re.IGNORECASE), unit))
     # percent (incl. decimal)
     def pct(m):
         return _fr_decimal_words(m.group(1)) + " pour cent"
@@ -288,6 +300,16 @@ def de_rules() -> List[Rule]:
     sym = "|".join(re.escape(s) for s in _DE_CURRENCIES)
     rules.append((re.compile(rf"(?P<a>\d[\d.\s ]*(?:,\d+)?)\s?(?P<c>{sym})"), cur))
     rules.append((re.compile(rf"(?P<c>{sym})\s?(?P<a>\d+(?:,\d+)?)"), cur))
+    # units accept decimals and run before the decimal rule
+    def unit(m):
+        amount = m.group(1).strip()
+        name = _DE_UNITS[m.group(2).lower()]
+        if "," in amount:
+            return _de_decimal_words(amount) + " " + name
+        return w(_int_of(amount)) + " " + name
+
+    unit_pat = "|".join(re.escape(u) for u in sorted(_DE_UNITS, key=len, reverse=True))
+    rules.append((re.compile(rf"\b(\d[\d.\s ]*(?:,\d+)?)\s?({unit_pat})\b", re.IGNORECASE), unit))
     # percent
     rules.append((re.compile(r"\b(\d+(?:,\d+)?)\s?%"),
                   lambda m: _de_decimal_words(m.group(1)) + " Prozent"))
@@ -376,17 +398,17 @@ def en_rules() -> List[Rule]:
             out += " point " + _digits(frac, "en")
         return out
 
+    def unit(m):
+        amount = m.group(1)
+        return dec(amount) + " " + _EN_UNITS[m.group(2).lower()]
+
+    unit_pat = "|".join(re.escape(u) for u in sorted(_EN_UNITS, key=len, reverse=True))
+    rules.append((re.compile(rf"\b(\d[\d,]*(?:\.\d+)?)\s?({unit_pat})\b", re.IGNORECASE), unit))
     rules.append((re.compile(r"\b(\d+(?:\.\d+)?)\s?%"), lambda m: dec(m.group(1)) + " percent"))
     rules.append((re.compile(r"\b\d+\.\d+\b"), lambda m: dec(m.group(0))))
     # ordinals 1st 2nd 3rd 4th
     rules.append((re.compile(r"\b(\d+)\s?(?:st|nd|rd|th)\b"),
                   lambda m: ordinal_to_words_en(int(m.group(1)))))
-    # units
-    def unit(m):
-        return w(_int_of(m.group(1))) + " " + _EN_UNITS[m.group(2).lower()]
-
-    unit_pat = "|".join(re.escape(u) for u in sorted(_EN_UNITS, key=len, reverse=True))
-    rules.append((re.compile(rf"\b(\d[\d,]*)\s?({unit_pat})\b", re.IGNORECASE), unit))
     # ranges
     rules.append((re.compile(r"\b(\d+)\s?[-–]\s?(\d+)\b"),
                   lambda m: f"{w(int(m.group(1)))} to {w(int(m.group(2)))}"))

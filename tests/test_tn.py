@@ -23,6 +23,8 @@ FR_CASES = [
     ("Au XVe siècle.", "Au quinzième siècle."),
     ("Louis XIV et François Ier régnaient.", None),  # just no digits left
     ("Une distance de 5 km.", "Une distance de cinq kilomètres."),
+    ("Une distance de 3,5 km.", "Une distance de trois virgule cinq kilomètres."),
+    ("Ça coûte 1 234,56 €.", "Ça coûte mille deux-cent-trente-quatre euros cinquante-six."),
     ("Appelez le 06 12 34 56 78.", "Appelez le zéro six douze trente-quatre cinquante-six soixante-dix-huit."),
     ("Entre 10-20 minutes.", "Entre dix à vingt minutes."),
     ("Il y a 1 234 habitants.", "Il y a mille deux-cent-trente-quatre habitants."),
@@ -37,6 +39,7 @@ DE_CASES = [
     ("Pi ist 3,14 ungefähr.", "Pi ist drei Komma eins vier ungefähr."),
     ("Der 3. Versuch.", "Der dritte Versuch."),
     ("Eine Strecke von 5 km.", "Eine Strecke von fünf Kilometer."),
+    ("Eine Strecke von 3,5 km.", "Eine Strecke von drei Komma fünf Kilometer."),
     ("Zwischen 10-20 Minuten.", "Zwischen zehn bis zwanzig Minuten."),
     ("Es gibt 1.234 Einwohner.", "Es gibt eintausend zweihundertvierunddreißig Einwohner."),
     ("Es sind -5 Grad.", "Es sind minus fünf Grad."),
@@ -49,6 +52,7 @@ EN_CASES = [
     ("About 3.5 % more.", "About three point five percent more."),
     ("The 3rd attempt and the 21st day.", "The third attempt and the twenty first day."),
     ("A distance of 5 km.", "A distance of five kilometers."),
+    ("A distance of 3.5 km.", "A distance of three point five kilometers."),
     ("Between 10-20 minutes.", "Between ten to twenty minutes."),
     ("There are 1,234,567 people.",
      "There are one million two hundred thirty-four thousand five hundred sixty-seven people."),
