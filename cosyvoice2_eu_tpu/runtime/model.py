@@ -651,7 +651,12 @@ class TTSModel:
         # state catches up behind the already-yielded audio — cached ==
         # recompute is equality-verified, so the mix is exact.
         need = this_hop + la
-        if int(n_avail) < need and not bool(finished):
+        # Loop (not a single shot): a decode round can consume steps on
+        # special tokens (>eos) without growing n_avail, so one call may
+        # come up short while the LM is neither finished nor exhausted.
+        # Each round advances step by >=1, so this terminates at the cap.
+        while int(n_avail) < need and not bool(finished) \
+                and int(step) < state.tokens.shape[1]:
             target = int(step) + (need - int(n_avail))
             state = chunk_fn(
                 self.params["llm"], state, pl, min_a, max_a, jnp.asarray(target)
@@ -675,12 +680,17 @@ class TTSModel:
             emitted_tokens = this_hop
             this_hop = hop
             next_feed = hop
-        else:
+        elif bool(finished) or int(step) >= state.tokens.shape[1]:
             # utterance shorter than one hop: the final recompute below
-            # handles it; no cached state needed
+            # handles it; the cached state is never fed, so unprimed is fine
             fstate = init_flow_stream_state(
                 cfg.flow, self.stream_max_tokens, dtype=dtype
             )
+        else:
+            # LM still running but short of a first chunk (unreachable with
+            # the decode loop above; kept as a safety net): any later cached
+            # emission MUST see the prompt prefix, so prime properly.
+            fstate = clone(self._primed_cache[pk]) if primed else prime_state()
         while True:
             need_gen = t_fed + next_feed + la - P
             if need_gen > 0 and int(n_avail) < need_gen and not bool(finished):

@@ -119,11 +119,16 @@ def _parse_attribute(buf: bytes) -> Tuple[str, object]:
     """AttributeProto -> (name, value); value is float/int/bytes/ndarray/list."""
     name = ""
     f_val = i_val = s_val = t_val = None
+    a_type = None  # AttributeProto.type (field 20): proto3 omits zero-valued
+    # scalars, so e.g. an explicit axis=0 arrives with type=INT but NO field-3
+    # payload; without consulting the type we'd mis-return the empty ints list.
     floats: list[float] = []
     ints: list[int] = []
     for field, wtype, val in _fields(buf):
         if field == 1 and wtype == 2:
             name = val.decode("utf-8", errors="replace")
+        elif field == 20 and wtype == 0:
+            a_type = val
         elif field == 2 and wtype == 5:
             f_val = struct.unpack("<f", val)[0]
         elif field == 3 and wtype == 0:
@@ -148,7 +153,14 @@ def _parse_attribute(buf: bytes) -> Tuple[str, object]:
     for v in (t_val, f_val, i_val, s_val):
         if v is not None:
             return name, v
-    if floats:
+    # Scalar attribute with its value field absent (proto3 zero default).
+    if a_type == 1:  # FLOAT
+        return name, 0.0
+    if a_type == 2:  # INT
+        return name, 0
+    if a_type == 3:  # STRING
+        return name, b""
+    if floats or a_type == 6:
         return name, floats
     return name, ints
 

@@ -40,11 +40,16 @@ class StreamSession:
     """Per-request token -> audio state machine (the flow/HiFT half of the
     cached streaming path, reference token2wav schedule cli/model.py:353-381)."""
 
-    def __init__(self, model, prompt: PromptInputs):
+    def __init__(self, model, prompt: PromptInputs, speed: float = 1.0):
         from cosyvoice2_eu_tpu.models.flow_streaming import init_flow_stream_state
 
         self.model = model
         self.prompt = prompt
+        # speed != 1.0 is non-stream-only (reference assertion, cli/model.py):
+        # keep the LM decode slot-batched but render flow/HiFT once at the
+        # end with mel interpolation instead of chunk-incrementally.
+        self.speed = speed
+        self.single_shot = speed != 1.0
         cfg = model.cfg
         self.ratio = cfg.flow.token_mel_ratio
         self.hop = model.token_hop_len
@@ -59,13 +64,16 @@ class StreamSession:
         prompt_only = (self.P // self.hop) * self.hop
         if prompt_only and self.P - prompt_only < self.la:
             prompt_only -= self.hop
-        self.fstate = init_flow_stream_state(
-            cfg.flow, model.stream_max_tokens, dtype=dtype
-        )
-        t = 0
-        for n in model._decompose_feed(prompt_only):
-            self._feed(t, n, np.zeros(0, np.int32))
-            t += n
+        if self.single_shot:
+            self.fstate = None  # no incremental flow; skip the cache alloc
+        else:
+            self.fstate = init_flow_stream_state(
+                cfg.flow, model.stream_max_tokens, dtype=dtype
+            )
+            t = 0
+            for n in model._decompose_feed(prompt_only):
+                self._feed(t, n, np.zeros(0, np.int32))
+                t += n
         self.t_fed = prompt_only
         self.next_feed = (self.P - prompt_only) + self.prompt_pad + self.hop
         self.this_hop = self.hop + self.prompt_pad
@@ -106,6 +114,16 @@ class StreamSession:
         if self.done:
             return out
         model = self.model
+        if self.single_shot:
+            if lm_finished:
+                out.append(
+                    model._token2wav(
+                        np.asarray(gen_tokens, np.int32), self.prompt,
+                        0, self.session, False, True, self.speed,
+                    )
+                )
+                self.done = True
+            return out
         avail = self.P + len(gen_tokens)
         while (
             avail >= self.t_fed + self.next_feed + self.la
@@ -129,7 +147,7 @@ class StreamSession:
                 out.append(
                     model._token2wav(
                         np.asarray(gen_tokens, np.int32), self.prompt,
-                        self.emitted, self.session, False, True,
+                        self.emitted, self.session, False, True, self.speed,
                     )
                 )
             self.done = True
@@ -140,6 +158,7 @@ class StreamSession:
 class _Request:
     prompt: PromptInputs
     out: "queue.Queue[Optional[np.ndarray]]"
+    speed: float = 1.0
     slot: int = -1
     harvested: int = 0
     session: Optional[StreamSession] = None
@@ -172,6 +191,7 @@ class TTSEngine:
         self.n_slots = n_slots
         self.chunk_steps = chunk_steps
         self.max_gen = min(max_gen, max_cache - 1)
+        self.max_cache = max_cache
         cfgl = self.cfg.llm
         dtype = model.params["llm"]["llm_embedding"]["weight"].dtype
         self.state = llm_mod.slots_init(
@@ -194,8 +214,8 @@ class TTSEngine:
 
     # -- public ----------------------------------------------------------
 
-    def submit(self, prompt: PromptInputs) -> RequestHandle:
-        req = _Request(prompt=prompt, out=queue.Queue())
+    def submit(self, prompt: PromptInputs, speed: float = 1.0) -> RequestHandle:
+        req = _Request(prompt=prompt, out=queue.Queue(), speed=speed)
         self._pending.put(req)
         self._ensure_running()
         return RequestHandle(req)
@@ -215,12 +235,14 @@ class TTSEngine:
                 self._thread.start()
 
     def _prefill_fn(self, p_bucket: int):
+        # NOT donated: prefill is once-per-request, and donating self.state
+        # would leave a deleted buffer behind if the call fails mid-dispatch
+        # (the retry and all later _decode calls would then run on a corpse).
         if p_bucket not in self._prefill_cache:
             self._prefill_cache[p_bucket] = jax.jit(
                 lambda params, st, slot, ids, src, pl, mn, mx: llm_mod.slot_prefill(
                     params, self.cfg.llm, st, slot, ids, src, pl, mn, mx,
                 ),
-                donate_argnums=(1,),
             )
         return self._prefill_cache[p_bucket]
 
@@ -236,67 +258,98 @@ class TTSEngine:
             jnp.asarray(min(max_len, self.max_gen), jnp.int32),
         )
         req.slot = slot
-        req.session = StreamSession(model, req.prompt)
+        req.session = StreamSession(model, req.prompt, speed=req.speed)
         self._slots[slot] = req
 
     def _loop(self):
-        while self._running:
-            # admit pending requests into free slots
-            admitted = False
-            for slot in range(self.n_slots):
-                if self._slots[slot] is None:
-                    try:
-                        req = self._pending.get_nowait()
-                    except queue.Empty:
-                        break
+        try:
+            while self._running:
+                self._loop_once()
+        except Exception as e:  # backend death: fail everyone, allow restart
+            msg = f"engine loop died: {e!r}"
+            for slot, req in enumerate(self._slots):
+                if req is not None:
+                    req.failed = msg
+                    req.out.put(None)
+                    self._slots[slot] = None
+            while True:
+                try:
+                    req = self._pending.get_nowait()
+                except queue.Empty:
+                    break
+                req.failed = msg
+                req.out.put(None)
+            # _decode donates the state; if it died mid-call the old buffer
+            # may be deleted — rebuild so a restarted loop starts clean.
+            try:
+                cfgl = self.cfg.llm
+                dtype = self.model.params["llm"]["llm_embedding"]["weight"].dtype
+                self.state = llm_mod.slots_init(
+                    cfgl, self.n_slots, self.max_cache, self.max_gen,
+                    jax.random.key(self.model.seed + 17), dtype=dtype,
+                )
+            except Exception:
+                pass  # backend itself is gone; restart will surface it
+            with self._lock:
+                self._running = False  # a later submit() restarts the thread
+
+    def _loop_once(self):
+        # admit pending requests into free slots
+        admitted = False
+        for slot in range(self.n_slots):
+            if self._slots[slot] is None:
+                try:
+                    req = self._pending.get_nowait()
+                except queue.Empty:
+                    break
+                try:
+                    self._admit(req, slot)
+                    admitted = True
+                except Exception:
+                    # transient backend failures (e.g. a remote-compile
+                    # transport hiccup) get one retry before surfacing
+                    import time as _time
+
+                    _time.sleep(1.0)
                     try:
                         self._admit(req, slot)
                         admitted = True
-                    except Exception as e:
-                        # transient backend failures (e.g. a remote-compile
-                        # transport hiccup) get one retry before surfacing
-                        import time as _time
+                    except Exception as e2:
+                        req.failed = str(e2)
+                        req.out.put(None)
+        active = [r for r in self._slots if r is not None]
+        if not active:
+            if self._pending.empty() and not admitted:
+                try:
+                    req = self._pending.get(timeout=0.2)
+                    self._pending.put(req)
+                except queue.Empty:
+                    return
+            return
 
-                        _time.sleep(1.0)
-                        try:
-                            self._admit(req, slot)
-                            admitted = True
-                        except Exception:
-                            req.failed = str(e)
-                            req.out.put(None)
-            active = [r for r in self._slots if r is not None]
-            if not active:
-                if self._pending.empty() and not admitted:
-                    try:
-                        req = self._pending.get(timeout=0.2)
-                        self._pending.put(req)
-                    except queue.Empty:
-                        continue
+        self.state = self._decode(self.model.params["llm"], self.state)
+        tokens, lengths, finished = jax.device_get(
+            (self.state.tokens, self.state.lengths, self.state.finished)
+        )
+        for slot, req in enumerate(self._slots):
+            if req is None:
                 continue
-
-            self.state = self._decode(self.model.params["llm"], self.state)
-            tokens, lengths, finished = jax.device_get(
-                (self.state.tokens, self.state.lengths, self.state.finished)
-            )
-            for slot, req in enumerate(self._slots):
-                if req is None:
-                    continue
-                n = int(lengths[slot])
-                done = bool(finished[slot])
-                if n > req.harvested or done:
-                    req.harvested = n
-                    try:
-                        for chunk in req.session.feed(tokens[slot, :n], done):
-                            req.out.put(chunk)
-                    except Exception as e:
-                        req.failed = str(e)
-                        done = True
-                if done:
-                    req.out.put(None)
-                    self._slots[slot] = None
-                    self.state = self.state._replace(
-                        active=self.state.active.at[slot].set(False)
-                    )
+            n = int(lengths[slot])
+            done = bool(finished[slot])
+            if n > req.harvested or done:
+                req.harvested = n
+                try:
+                    for chunk in req.session.feed(tokens[slot, :n], done):
+                        req.out.put(chunk)
+                except Exception as e:
+                    req.failed = str(e)
+                    done = True
+            if done:
+                req.out.put(None)
+                self._slots[slot] = None
+                self.state = self.state._replace(
+                    active=self.state.active.at[slot].set(False)
+                )
 
 
 class EngineAPI:
@@ -337,7 +390,7 @@ class EngineAPI:
         for seg in segments:
             inputs = self._inputs(seg, prompt, prompt_text, mode, instruct_text,
                                   **precomputed)
-            for chunk in self.engine.submit(inputs):
+            for chunk in self.engine.submit(inputs, speed=speed):
                 yield chunk[None]
 
     def tts(self, text, prompt, **kw):

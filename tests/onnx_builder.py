@@ -60,16 +60,19 @@ def tensor_proto(name: str, arr: np.ndarray) -> bytes:
 
 
 def _attr(name: str, value) -> bytes:
+    # Real proto3 serializers (torch.onnx export) omit zero-valued scalar
+    # payload fields and rely on AttributeProto.type alone — mimic that so
+    # the importer's zero-default path is what tests actually exercise.
     out = _len_field(1, name.encode())
     if isinstance(value, bool):
-        out += _int_field(3, int(value)) + _int_field(20, 2)
+        out += (_int_field(3, int(value)) if value else b"") + _int_field(20, 2)
     elif isinstance(value, int):
-        out += _int_field(3, value) + _int_field(20, 2)
+        out += (_int_field(3, value) if value != 0 else b"") + _int_field(20, 2)
     elif isinstance(value, float):
-        out += _float_field(2, value) + _int_field(20, 1)
+        out += (_float_field(2, value) if value != 0.0 else b"") + _int_field(20, 1)
     elif isinstance(value, (bytes, str)):
         data = value.encode() if isinstance(value, str) else value
-        out += _len_field(4, data) + _int_field(20, 3)
+        out += (_len_field(4, data) if data else b"") + _int_field(20, 3)
     elif isinstance(value, np.ndarray):
         out += _len_field(5, tensor_proto("", value)) + _int_field(20, 4)
     elif isinstance(value, (list, tuple)) and all(isinstance(v, int) for v in value):
