@@ -358,24 +358,14 @@ def load(
     # reference cli/frontend.py:190-197)
     speech_tokenizer_fn = spk_embedding_fn = None
     if model_dir is not None:
-        from cosyvoice2_eu_tpu.frontend.frontend import (
-            make_speech_tokenizer_fn,
-            make_spk_embedding_fn,
-        )
-        from cosyvoice2_eu_tpu.runtime.onnx_convert import (
-            convert_campplus,
-            convert_speech_tokenizer,
-        )
-        from cosyvoice2_eu_tpu.runtime.onnx_import import load_onnx
+        from cosyvoice2_eu_tpu.runtime.onnx_fallback import load_frontend_fns
 
-        st_path = os.path.join(model_dir, "speech_tokenizer_v2.onnx")
-        if os.path.exists(st_path):
-            st_params, st_cfg = convert_speech_tokenizer(load_onnx(st_path))
-            speech_tokenizer_fn = make_speech_tokenizer_fn(st_params, st_cfg)
-        cam_path = os.path.join(model_dir, "campplus.onnx")
-        if os.path.exists(cam_path):
-            cam_params, cam_cfg = convert_campplus(load_onnx(cam_path))
-            spk_embedding_fn = make_spk_embedding_fn(cam_params, cam_cfg)
+        # structural ONNX->JAX conversion first; numpy graph-executor
+        # fallback when an unfamiliar export topology defeats it
+        speech_tokenizer_fn, spk_embedding_fn = load_frontend_fns(
+            os.path.join(model_dir, "speech_tokenizer_v2.onnx"),
+            os.path.join(model_dir, "campplus.onnx"),
+        )
 
     if isinstance(compute_dtype, str):
         import jax.numpy as jnp

@@ -44,6 +44,40 @@ def _consumer_map(nodes):
     return out
 
 
+_TRANSPARENT_OPS = ("Identity", "Dropout")
+_FLOAT_ONNX_TYPES = (1, 10, 11, 16)  # f32, f16, f64, bf16
+
+
+def simplify_graph(model: dict) -> dict:
+    """Splice out value-preserving plumbing nodes torch exports sprinkle in:
+    Identity, inference-mode Dropout, and float->float Cast.  Returns a new
+    model dict whose nodes reference the spliced-through names directly, so
+    structural pattern matching (bias_after, LN fusion) is not broken by an
+    Identity sitting between a MatMul and its bias Add.
+
+    Name-rewrite only — never changes arithmetic; both the structural
+    converter and the numpy executor accept the simplified graph.
+    """
+    alias: dict[str, str] = {}
+    kept = []
+    for n in model["nodes"]:
+        op = n["op_type"]
+        transparent = op in _TRANSPARENT_OPS or (
+            op == "Cast" and int(n["attrs"].get("to", 0)) in _FLOAT_ONNX_TYPES
+        )
+        # resolve already-aliased inputs first
+        inputs = [alias.get(i, i) for i in n["input"]]
+        if transparent and inputs and n["output"]:
+            src = inputs[0]
+            for out in n["output"]:
+                if out:
+                    alias[out] = src
+            continue
+        kept.append({**n, "input": inputs})
+    outputs = [alias.get(o, o) for o in model["outputs"]]
+    return {**model, "nodes": kept, "outputs": outputs}
+
+
 def fuse_layer_norms(model: dict) -> list:
     """Return a node list with decomposed LayerNorms (opset < 17) re-fused.
 
@@ -187,6 +221,7 @@ def convert_speech_tokenizer(model: dict):
 
     from cosyvoice2_eu_tpu.models.speech_tokenizer import SpeechTokenizerConfig
 
+    model = simplify_graph(model)
     nodes = fuse_layer_norms(model)
     g = _Walk(model, nodes)
 
@@ -200,14 +235,26 @@ def convert_speech_tokenizer(model: dict):
 
     lns = g.stream("LayerNormalization")
     mms = [n for n in g.stream("MatMul", "Gemm") if g.linear_weight(n) is not None]
-    # per block: q, k, v, out, ff1, ff2 (trace order) ; final = project_down
-    if (len(mms) - 1) % 6 != 0:
-        raise ValueError(f"unexpected MatMul/Gemm count {len(mms)} (want 6n+1)")
-    num_layers = (len(mms) - 1) // 6
+    # per block: q, k, v, out, ff1, ff2 (trace order); final = project_down.
+    # Torch can also export attention with a FUSED in_proj — one (3d, d)
+    # matmul — giving qkv, out, ff1, ff2 = 4 per block.  Detect by shape.
+    fused_qkv = False
+    if len(mms) > 1 and (len(mms) - 1) % 6 == 0 \
+            and g.linear_weight(mms[0]).shape[0] == d_model:
+        num_layers = (len(mms) - 1) // 6
+    elif len(mms) > 1 and (len(mms) - 1) % 4 == 0 \
+            and g.linear_weight(mms[0]).shape[0] == 3 * d_model:
+        fused_qkv = True
+        num_layers = (len(mms) - 1) // 4
+    else:
+        raise ValueError(
+            f"unexpected MatMul/Gemm count {len(mms)} (want 6n+1 separate-QKV "
+            f"or 4n+1 fused-QKV for d_model={d_model})"
+        )
     if len(lns) != 2 * num_layers:
         raise ValueError(f"LayerNorm count {len(lns)} != 2*{num_layers}")
 
-    ffn_dim = g.linear_weight(mms[4]).shape[0]
+    ffn_dim = g.linear_weight(mms[2 if fused_qkv else 4]).shape[0]
     fsq_w = g.linear_weight(mms[-1])
     fsq_dim = fsq_w.shape[0]
 
@@ -248,15 +295,34 @@ def convert_speech_tokenizer(model: dict):
             "bias": jnp.asarray(_check("ln.b", g.weight(node, 2), (d,))),
         }
 
+    def qkv_parts(node):
+        """Split a fused (3d, d) in_proj into q/k/v param dicts."""
+        w = _check("qkv", g.linear_weight(node), (3 * d, d))
+        b = g.bias_after(node)
+        parts = []
+        for i in range(3):
+            p = {"weight": jnp.asarray(w[i * d : (i + 1) * d])}
+            if b is not None:
+                p["bias"] = jnp.asarray(b[i * d : (i + 1) * d])
+            parts.append(p)
+        return parts
+
     layers = []
     for li in range(num_layers):
-        q, k, v, out, ff1, ff2 = mms[6 * li : 6 * li + 6]
+        if fused_qkv:
+            qkv, out, ff1, ff2 = mms[4 * li : 4 * li + 4]
+            qp, kp, vp = qkv_parts(qkv)
+        else:
+            q, k, v, out, ff1, ff2 = mms[6 * li : 6 * li + 6]
+            qp = lin(q, (d, d))
+            kp = lin(k, (d, d), bias=False)
+            vp = lin(v, (d, d))
         layers.append(
             {
                 "attn_ln": ln_params(lns[2 * li]),
-                "q": lin(q, (d, d)),
-                "k": lin(k, (d, d), bias=False),
-                "v": lin(v, (d, d)),
+                "q": qp,
+                "k": kp,
+                "v": vp,
                 "out": lin(out, (d, d)),
                 "mlp_ln": ln_params(lns[2 * li + 1]),
                 "ff1": lin(ff1, (cfg.ffn_dim, d)),
@@ -294,6 +360,7 @@ def convert_campplus(model: dict, cfg=None):
 
     from cosyvoice2_eu_tpu.models.campplus import CAMPPlusConfig, init_campplus
 
+    model = simplify_graph(model)
     nodes = fuse_layer_norms(model)
     g = _Walk(model, nodes)
     convs = [n for n in g.stream("Conv") if g.weight(n) is not None]

@@ -22,8 +22,26 @@ import numpy as np
 _ONNX_DTYPES = {
     1: np.float32, 2: np.uint8, 3: np.int8, 4: np.uint16, 5: np.int16,
     6: np.int32, 7: np.int64, 9: np.bool_, 10: np.float16, 11: np.float64,
-    12: np.uint32, 13: np.uint64,
+    12: np.uint32, 13: np.uint64, 16: np.float32,  # bf16 -> f32 best effort
 }
+
+
+def _onnx_div(a, b):
+    """ONNX Div truncates toward zero on integer inputs (C semantics);
+    np.divide would silently promote shape arithmetic to float."""
+    if np.issubdtype(np.asarray(a).dtype, np.integer) and \
+            np.issubdtype(np.asarray(b).dtype, np.integer):
+        return (np.asarray(a) / np.asarray(b)).astype(np.asarray(a).dtype)
+    return np.divide(a, b)
+
+
+def _onnx_mod(node):
+    def op(a, b):
+        if int(node["attrs"].get("fmod", 0)):
+            return np.fmod(a, b)
+        return np.mod(a, b)
+
+    return op
 
 
 def _conv(node, x, w, b=None):
@@ -203,15 +221,19 @@ def _split(node, x, split=None):
 
 
 _BINARY = {
-    "Add": np.add, "Sub": np.subtract, "Mul": np.multiply, "Div": np.divide,
+    "Add": np.add, "Sub": np.subtract, "Mul": np.multiply, "Div": _onnx_div,
     "Pow": np.power, "Min": np.minimum, "Max": np.maximum,
     "Equal": np.equal, "Less": np.less, "Greater": np.greater,
-    "And": np.logical_and, "Or": np.logical_or,
+    "LessOrEqual": np.less_equal, "GreaterOrEqual": np.greater_equal,
+    "And": np.logical_and, "Or": np.logical_or, "Xor": np.logical_xor,
 }
 _UNARY = {
     "Sqrt": np.sqrt, "Neg": np.negative, "Tanh": np.tanh, "Exp": np.exp,
     "Log": np.log, "Abs": np.abs, "Floor": np.floor, "Ceil": np.ceil,
     "Round": np.round, "Not": np.logical_not,
+    "Sin": np.sin, "Cos": np.cos, "Sign": np.sign,
+    "Reciprocal": lambda x: 1.0 / x,
+    "Softplus": lambda x: np.log1p(np.exp(-np.abs(x))) + np.maximum(x, 0),
     "Relu": lambda x: np.maximum(x, 0),
     "Sigmoid": lambda x: 1.0 / (1.0 + np.exp(-x)),
     "Erf": None,  # filled below (vectorized math.erf)
@@ -270,8 +292,66 @@ def run_graph(model: dict, feeds: dict, outputs=None) -> list:
             out = _reduce(np.max)(node, *args)
         elif op == "ReduceMin":
             out = _reduce(np.min)(node, *args)
+        elif op == "Mod":
+            out = _onnx_mod(node)(args[0], args[1])
+        elif op == "LeakyRelu":
+            alpha = float(node["attrs"].get("alpha", 0.01))
+            out = np.where(a > 0, a, alpha * a).astype(a.dtype)
+        elif op == "Elu":
+            alpha = float(node["attrs"].get("alpha", 1.0))
+            out = np.where(a > 0, a, alpha * (np.exp(np.minimum(a, 0)) - 1)).astype(a.dtype)
+        elif op == "HardSigmoid":
+            alpha = float(node["attrs"].get("alpha", 0.2))
+            beta = float(node["attrs"].get("beta", 0.5))
+            out = np.clip(alpha * a + beta, 0, 1).astype(a.dtype)
+        elif op == "HardSwish":
+            out = (a * np.clip(a / 6.0 + 0.5, 0, 1)).astype(a.dtype)
+        elif op == "PRelu":
+            out = np.where(a > 0, a, args[1] * a).astype(a.dtype)
+        elif op == "ArgMax":
+            axis = int(node["attrs"].get("axis", 0))
+            out = np.argmax(a, axis=axis)
+            if node["attrs"].get("keepdims", 1):
+                out = np.expand_dims(out, axis)
+        elif op == "ArgMin":
+            axis = int(node["attrs"].get("axis", 0))
+            out = np.argmin(a, axis=axis)
+            if node["attrs"].get("keepdims", 1):
+                out = np.expand_dims(out, axis)
+        elif op == "LogSoftmax":
+            axis = int(node["attrs"].get("axis", -1))
+            m = a.max(axis=axis, keepdims=True)
+            out = a - m - np.log(np.exp(a - m).sum(axis=axis, keepdims=True))
+        elif op == "CumSum":
+            axis = int(np.asarray(args[1]).ravel()[0])
+            out = np.cumsum(a, axis=axis)
+            if node["attrs"].get("reverse", 0) or node["attrs"].get("exclusive", 0):
+                raise NotImplementedError("CumSum reverse/exclusive")
+        elif op == "ReduceProd":
+            out = _reduce(np.prod)(node, *args)
+        elif op == "Trilu":
+            k = int(np.asarray(args[1]).ravel()[0]) if len(args) > 1 and args[1] is not None else 0
+            upper = int(node["attrs"].get("upper", 1))
+            out = np.triu(a, k) if upper else np.tril(a, k)
+        elif op == "GatherElements":
+            axis = int(node["attrs"].get("axis", 0))
+            idx = np.asarray(args[1], np.int64)
+            idx = np.where(idx < 0, idx + a.shape[axis], idx)
+            out = np.take_along_axis(a, idx, axis=axis)
+        elif op == "TopK":
+            axis = int(node["attrs"].get("axis", -1))
+            k = int(np.asarray(args[1]).ravel()[0])
+            largest = int(node["attrs"].get("largest", 1))
+            order = np.argsort(a, axis=axis)
+            if largest:
+                order = np.flip(order, axis=axis)
+            idx = np.take(order, np.arange(k), axis=axis)
+            out = (np.take_along_axis(a, idx, axis=axis), idx.astype(np.int64))
         elif op == "Shape":
-            out = np.asarray(a.shape, np.int64)
+            start = int(node["attrs"].get("start", 0))
+            end = node["attrs"].get("end")
+            shp = a.shape[start : int(end) if end is not None else None]
+            out = np.asarray(shp, np.int64)
         elif op == "Reshape":
             shape = [int(s) for s in np.asarray(args[1]).ravel()]
             shape = [a.shape[i] if s == 0 else s for i, s in enumerate(shape)]
@@ -302,8 +382,10 @@ def run_graph(model: dict, feeds: dict, outputs=None) -> list:
             for ax in sorted(axes):
                 out = np.expand_dims(out, ax)
         elif op == "Gather":
-            out = np.take(a, np.asarray(args[1], np.int64),
-                          axis=int(node["attrs"].get("axis", 0)))
+            axis = int(node["attrs"].get("axis", 0))
+            idx = np.asarray(args[1], np.int64)
+            idx = np.where(idx < 0, idx + a.shape[axis], idx)  # ONNX allows negatives
+            out = np.take(a, idx, axis=axis)
         elif op == "Expand":
             out = _expand(node, *args)
         elif op == "Tile":
@@ -319,18 +401,23 @@ def run_graph(model: dict, feeds: dict, outputs=None) -> list:
         elif op == "Constant":
             out = node["attrs"].get("value")
             if out is None:
-                for k in ("value_float", "value_int"):
+                for k, dt in (("value_float", np.float32), ("value_int", np.int64),
+                              ("value_floats", np.float32), ("value_ints", np.int64)):
                     if k in node["attrs"]:
-                        out = np.asarray(node["attrs"][k])
+                        out = np.asarray(node["attrs"][k], dt)
+                        break
             out = np.asarray(out)
         elif op == "ConstantOfShape":
             val = node["attrs"].get("value", np.zeros(1, np.float32))
             out = np.full([int(s) for s in np.asarray(a).ravel()],
                           np.asarray(val).ravel()[0])
         elif op == "Range":
-            out = np.arange(int(args[0]), int(args[1]), int(args[2]))
+            s0, s1, s2 = (np.asarray(x).ravel()[0] for x in args[:3])
+            out = np.arange(s0, s1, s2)
         elif op == "Pad":
             out = _pad(node, *args)
+        elif op == "Dropout":  # inference mode: identity (+ all-true mask)
+            out = (a, np.ones(a.shape, np.bool_)) if len(node["output"]) > 1 else a
         else:
             raise NotImplementedError(f"ONNX op {op} (node {node['name']})")
 

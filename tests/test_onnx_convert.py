@@ -50,7 +50,7 @@ def _gelu(g, x):
 # ---------------------------------------------------------------------------
 
 def build_tokenizer_onnx(path, rng, t_in=48, n_mels=16, d=32, heads=4,
-                         layers=2, ffn=64, fsq=8):
+                         layers=2, ffn=64, fsq=8, fused_qkv=False):
     g = GraphBuilder()
     hd = d // heads
     t1 = (t_in - 1) // 2 + 1
@@ -62,11 +62,13 @@ def build_tokenizer_onnx(path, rng, t_in=48, n_mels=16, d=32, heads=4,
         return g.add("Conv", [x, w, b], strides=[2], pads=[1, 1],
                      dilations=[1], group=1)
 
-    def linear(x, cin, cout, bias=True):
+    def linear(x, cin, cout, bias=True, bias_vec=None):
         w = rng.standard_normal((cout, cin)).astype(np.float32) * (0.4 / math.sqrt(cin))
         y = g.add("MatMul", [x, g.init(w.T.copy())])  # MatMul stores (in, out)
         if bias:
-            y = g.add("Add", [y, g.init(rng.standard_normal(cout).astype(np.float32) * 0.05)])
+            b = bias_vec if bias_vec is not None else \
+                rng.standard_normal(cout).astype(np.float32) * 0.05
+            y = g.add("Add", [y, g.init(b)])
         return y
 
     x = _gelu(g, conv("mel", n_mels, d))
@@ -82,9 +84,20 @@ def build_tokenizer_onnx(path, rng, t_in=48, n_mels=16, d=32, heads=4,
 
     for _ in range(layers):
         h = ln(x)
-        q = linear(h, d, d)
-        k = linear(h, d, d, bias=False)
-        v = linear(h, d, d)
+        if fused_qkv:
+            # torch fused in_proj export: one (3d) linear then Split; the k
+            # bias slice is zero (whisper keys are bias-free)
+            b3 = np.concatenate([
+                rng.standard_normal(d).astype(np.float32) * 0.05,
+                np.zeros(d, np.float32),
+                rng.standard_normal(d).astype(np.float32) * 0.05,
+            ])
+            qkv = linear(h, d, 3 * d, bias_vec=b3)
+            q, k, v = g.add("Split", [qkv], n_out=3, axis=-1, num_outputs=3)
+        else:
+            q = linear(h, d, d)
+            k = linear(h, d, d, bias=False)
+            v = linear(h, d, d)
 
         def split_heads(y, perm):
             r = g.add("Reshape", [y, g.init(_i64([1, t_out, heads, hd]))])

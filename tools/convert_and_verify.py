@@ -100,40 +100,78 @@ def verify_onnx(model_dir: str, report: dict, n_frames: int = 96) -> dict:
     if st_path:
         t0 = time.time()
         model = load_onnx(st_path)
-        params, st_cfg = convert_speech_tokenizer(model)
-        mel = rng.standard_normal((1, st_cfg.n_mels, n_frames)).astype(np.float32)
-        feeds = {model["inputs"][0]: mel}
-        if len(model["inputs"]) > 1:  # length input
-            feeds[model["inputs"][1]] = np.asarray([n_frames], np.int32)
-        ref = np.asarray(run_graph(model, feeds)[0]).reshape(-1)
-        codes, code_len = st.encode(params, st_cfg, jnp.asarray(mel), jnp.asarray([n_frames]))
-        got = np.asarray(codes)[0, : int(code_len[0])]
-        n = min(len(got), len(ref))
-        report["speech_tokenizer"] = {
-            "ok": bool(n > 0 and (got[:n] == ref[:n]).all()),
-            "token_match": float((got[:n] == ref[:n]).mean()) if n else 0.0,
-            "n_tokens": int(n),
-            "config": {"layers": st_cfg.num_layers, "d_model": st_cfg.d_model,
-                       "strides": list(st_cfg.conv_strides)},
-            "seconds": round(time.time() - t0, 1),
-        }
+        try:
+            params, st_cfg = convert_speech_tokenizer(model)
+        except Exception as e:
+            # structural conversion failed: load() would fall back to the
+            # numpy graph executor — smoke it and surface the structural error
+            from cosyvoice2_eu_tpu.runtime.onnx_fallback import (
+                make_executor_speech_tokenizer_fn,
+            )
+
+            fn = make_executor_speech_tokenizer_fn(model)
+            wav = (rng.standard_normal(16000) * 0.05).astype(np.float32)
+            codes = fn(wav)
+            report["speech_tokenizer"] = {
+                "ok": bool(len(codes) > 0),
+                "mode": "executor_fallback",
+                "structural_error": str(e),
+                "n_tokens": int(len(codes)),
+                "seconds": round(time.time() - t0, 1),
+            }
+        else:
+            mel = rng.standard_normal((1, st_cfg.n_mels, n_frames)).astype(np.float32)
+            feeds = {model["inputs"][0]: mel}
+            if len(model["inputs"]) > 1:  # length input
+                feeds[model["inputs"][1]] = np.asarray([n_frames], np.int32)
+            ref = np.asarray(run_graph(model, feeds)[0]).reshape(-1)
+            codes, code_len = st.encode(params, st_cfg, jnp.asarray(mel), jnp.asarray([n_frames]))
+            got = np.asarray(codes)[0, : int(code_len[0])]
+            n = min(len(got), len(ref))
+            report["speech_tokenizer"] = {
+                "ok": bool(n > 0 and (got[:n] == ref[:n]).all()),
+                "mode": "structural",
+                "token_match": float((got[:n] == ref[:n]).mean()) if n else 0.0,
+                "n_tokens": int(n),
+                "config": {"layers": st_cfg.num_layers, "d_model": st_cfg.d_model,
+                           "strides": list(st_cfg.conv_strides)},
+                "seconds": round(time.time() - t0, 1),
+            }
 
     cam_path = _maybe(os.path.join(model_dir, "campplus.onnx"))
     if cam_path:
         t0 = time.time()
         model = load_onnx(cam_path)
-        params, cam_cfg = convert_campplus(model)
-        fbank = rng.standard_normal((1, 200, cam_cfg.feat_dim)).astype(np.float32)
-        ref = np.asarray(run_graph(model, {model["inputs"][0]: fbank})[0]).reshape(-1)
-        got = np.asarray(cam.campplus_forward(params, cam_cfg, jnp.asarray(fbank)))[0]
-        cos = float(np.dot(ref, got) / (np.linalg.norm(ref) * np.linalg.norm(got) + 1e-12))
-        report["campplus"] = {
-            "ok": bool(cos > 0.999),
-            "cosine": cos,
-            "config": {"blocks": list(cam_cfg.block_layers),
-                       "embedding": cam_cfg.embedding_size},
-            "seconds": round(time.time() - t0, 1),
-        }
+        try:
+            params, cam_cfg = convert_campplus(model)
+        except Exception as e:
+            from cosyvoice2_eu_tpu.runtime.onnx_fallback import (
+                make_executor_spk_embedding_fn,
+            )
+
+            fn = make_executor_spk_embedding_fn(model)
+            wav = (rng.standard_normal(2 * 16000) * 0.05).astype(np.float32)
+            emb = fn(wav)
+            report["campplus"] = {
+                "ok": bool(len(emb) > 0 and np.isfinite(emb).all()),
+                "mode": "executor_fallback",
+                "structural_error": str(e),
+                "embedding_dim": int(len(emb)),
+                "seconds": round(time.time() - t0, 1),
+            }
+        else:
+            fbank = rng.standard_normal((1, 200, cam_cfg.feat_dim)).astype(np.float32)
+            ref = np.asarray(run_graph(model, {model["inputs"][0]: fbank})[0]).reshape(-1)
+            got = np.asarray(cam.campplus_forward(params, cam_cfg, jnp.asarray(fbank)))[0]
+            cos = float(np.dot(ref, got) / (np.linalg.norm(ref) * np.linalg.norm(got) + 1e-12))
+            report["campplus"] = {
+                "ok": bool(cos > 0.999),
+                "mode": "structural",
+                "cosine": cos,
+                "config": {"blocks": list(cam_cfg.block_layers),
+                           "embedding": cam_cfg.embedding_size},
+                "seconds": round(time.time() - t0, 1),
+            }
     return report
 
 
