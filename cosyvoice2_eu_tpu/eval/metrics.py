@@ -86,8 +86,14 @@ def _mel_cepstrum(wav: np.ndarray, sr: int, n_coef: int = 13) -> np.ndarray:
     return cep[:, 1:]
 
 
-def mcd(ref_wav: np.ndarray, gen_wav: np.ndarray, sr: int = 24000) -> float:
-    """Mel-cepstral distance in dB with DTW alignment."""
+def mcd_rel(ref_wav: np.ndarray, gen_wav: np.ndarray, sr: int = 24000) -> float:
+    """RELATIVE mel-cepstral distance (DCT of log-mel, DTW-aligned).
+
+    NOT the WORLD/pysptk MCD — cepstra come from an 80-bin log-mel DCT, so
+    absolute values are NOT comparable with published MCD dB numbers (use
+    :func:`mcd` for those).  Kept because it needs no envelope estimation and
+    is monotone in spectral mismatch, useful for A/B deltas within one run.
+    """
     c_ref = _mel_cepstrum(ref_wav, sr)
     c_gen = _mel_cepstrum(gen_wav, sr)
     if len(c_ref) < 2 or len(c_gen) < 2:
@@ -95,6 +101,183 @@ def mcd(ref_wav: np.ndarray, gen_wav: np.ndarray, sr: int = 24000) -> float:
     cost = np.sqrt(
         np.sum((c_ref[:, None, :] - c_gen[None, :, :]) ** 2, axis=-1)
     )
+    pi, pj = dtw_path(cost)
+    diff = c_ref[pi] - c_gen[pj]
+    k = 10.0 / np.log(10.0) * np.sqrt(2.0)
+    return float(k * np.mean(np.sqrt(np.sum(diff**2, axis=-1))))
+
+
+# ---------------------------------------------------------------------------
+# true MCD in dB: WORLD-style CheapTrick envelope + SPTK warped cepstrum
+# ---------------------------------------------------------------------------
+#
+# The reference computes MCD from pyworld.cheaptrick spectral envelopes
+# converted by pysptk.sp2mc (alpha 0.58 @ 16 kHz, order 12), c1..c12, DTW,
+# constant 10*sqrt(2)/ln(10) (metrics_computer.py:238-310).  Neither pyworld
+# nor pysptk ships in this image, so both algorithms are implemented here
+# from their published descriptions: CheapTrick (Morise, 2015: F0-adaptive
+# Hanning window, sub-F0 DC correction, 2F0/3 rectangular smoothing, sinc +
+# q1=-0.15 cepstral liftering) and the Oppenheim frequency-transform
+# recursion used by SPTK's freqt.  F0 comes from this framework's YIN
+# (train/pitch.py) instead of DIO+StoneMask; CheapTrick only uses F0 to set
+# smoothing bandwidths, so envelope (and MCD) sensitivity to the estimator
+# choice is small.
+
+_CHEAPTRICK_F0_FLOOR = 71.0
+_CHEAPTRICK_DEFAULT_F0 = 500.0  # WORLD's kDefaultF0 for unvoiced frames
+_CHEAPTRICK_Q1 = -0.15
+
+
+def _cheaptrick_fft_size(fs: int) -> int:
+    return 2 ** int(np.ceil(np.log2(3.0 * fs / _CHEAPTRICK_F0_FLOOR + 1.0)))
+
+
+def _dc_correction(ps: np.ndarray, f0: float, fs: int, fft_size: int) -> np.ndarray:
+    """Mirror spectral power below F0 so the envelope holds toward DC."""
+    n = fft_size // 2 + 1
+    freq = np.arange(n) * fs / fft_size
+    low = freq < f0
+    if not low.any():
+        return ps
+    mirror = np.interp(f0 - freq[low], freq, ps)
+    out = ps.copy()
+    out[low] += mirror
+    return out
+
+
+def _linear_smoothing(ps: np.ndarray, width: float, fs: int, fft_size: int) -> np.ndarray:
+    """Rectangular smoothing of the power spectrum over `width` Hz, with the
+    spectrum mirrored around DC (negative frequencies) like WORLD does."""
+    n = fft_size // 2 + 1
+    df = fs / fft_size
+    freq = np.arange(n) * df
+    # mirrored extension for f < 0
+    ext_freq = np.concatenate([-freq[1:][::-1], freq])
+    ext_ps = np.concatenate([ps[1:][::-1], ps])
+    # cumulative integral with trapezoid on the uniform grid
+    cum = np.concatenate([[0.0], np.cumsum((ext_ps[1:] + ext_ps[:-1]) * 0.5 * df)])
+    # integral of ps over [f - w/2, f + w/2] via interpolation of the cumsum
+    grid = np.concatenate([[ext_freq[0]], ext_freq[1:]])
+
+    def integral(x):
+        return np.interp(x, grid, cum)
+
+    lo = freq - width / 2.0
+    hi = freq + width / 2.0
+    return (integral(hi) - integral(lo)) / width
+
+
+def _cheaptrick_frame(
+    y: np.ndarray, center: int, f0: float, fs: int, fft_size: int
+) -> np.ndarray:
+    """Single-frame CheapTrick power envelope (length fft_size//2+1)."""
+    half = int(1.5 * fs / f0 + 0.5)
+    base = np.arange(-half, half + 1)
+    idx = np.clip(center + base, 0, len(y) - 1)
+    w = 0.5 * np.cos(np.pi * base * f0 / (1.5 * fs)) + 0.5
+    seg = y[idx] * w
+    # weighted DC removal (WORLD GetWindowedWaveform)
+    seg = seg - w * (seg.sum() / w.sum())
+    spec = np.fft.rfft(seg, fft_size)
+    ps = (spec.real**2 + spec.imag**2).astype(np.float64)
+    # relative floor, WORLD's AddInfinitesimalNoise analog: keeps log-envelope
+    # differences bounded on digitally-silent bands (pure tones, padding)
+    ps = np.maximum(ps, ps.max() * 1e-12 + 1e-30)
+    ps = _dc_correction(ps, f0, fs, fft_size)
+    ps = _linear_smoothing(ps, 2.0 * f0 / 3.0, fs, fft_size)
+    # cepstral liftering with recovery (SmoothingWithRecovery)
+    log_ps = np.log(ps + 1e-30)
+    cep = np.fft.irfft(log_ps)  # length fft_size, symmetric
+    tau = np.arange(fft_size)
+    tau = np.minimum(tau, fft_size - tau)  # two-sided quefrency
+    arg = np.pi * f0 * tau / fs
+    smoothing = np.where(tau == 0, 1.0, np.sin(np.maximum(arg, 1e-12)) / np.maximum(arg, 1e-12))
+    compensation = (1.0 - 2.0 * _CHEAPTRICK_Q1) + 2.0 * _CHEAPTRICK_Q1 * np.cos(
+        2.0 * np.pi * f0 * tau / fs
+    )
+    cep = cep * smoothing * compensation
+    return np.exp(np.fft.rfft(cep).real)
+
+
+def cheaptrick_envelope(
+    wav: np.ndarray, f0: np.ndarray, fs: int, hop: int, fft_size: int | None = None
+) -> np.ndarray:
+    """(T_frames, fft//2+1) power spectral envelope; f0 per frame (0 = unvoiced)."""
+    if fft_size is None:
+        fft_size = _cheaptrick_fft_size(fs)
+    out = np.empty((len(f0), fft_size // 2 + 1))
+    for i, f in enumerate(f0):
+        cur = float(f) if f > _CHEAPTRICK_F0_FLOOR else _CHEAPTRICK_DEFAULT_F0
+        out[i] = _cheaptrick_frame(wav, i * hop, cur, fs, fft_size)
+    return out
+
+
+def _freqt(c: np.ndarray, order: int, alpha: float) -> np.ndarray:
+    """Oppenheim all-pass frequency transform (SPTK freqt) over a batch:
+    c is (T, N) linear-frequency cepstra -> (T, order+1) warped cepstra."""
+    t = c.shape[0]
+    beta = 1.0 - alpha * alpha
+    d = np.zeros((t, order + 1))
+    for i in range(c.shape[1] - 1, -1, -1):
+        prev = d
+        d = np.empty_like(prev)
+        d[:, 0] = c[:, i] + alpha * prev[:, 0]
+        if order >= 1:
+            d[:, 1] = beta * prev[:, 0] + alpha * prev[:, 1]
+        for m in range(2, order + 1):
+            d[:, m] = prev[:, m - 1] + alpha * (prev[:, m] - d[:, m - 1])
+    return d
+
+
+def sp2mc(sp: np.ndarray, order: int = 12, alpha: float = 0.58) -> np.ndarray:
+    """(T, bins) power envelope -> (T, order+1) mel-cepstra (pysptk.sp2mc
+    semantics: log power -> real cepstrum, c0 halved, freqt warp)."""
+    log_sp = np.log(np.maximum(sp, 1e-30))
+    c = np.fft.irfft(log_sp, axis=-1)
+    c[:, 0] /= 2.0
+    return _freqt(c, order, alpha)
+
+
+def _resample_to(wav: np.ndarray, sr: int, target: int) -> np.ndarray:
+    if sr == target:
+        return np.asarray(wav, np.float64)
+    from math import gcd
+
+    from scipy.signal import resample_poly
+
+    g = gcd(sr, target)
+    return resample_poly(np.asarray(wav, np.float64), target // g, sr // g)
+
+
+def mcep_sequence(wav: np.ndarray, sr: int, order: int = 12) -> np.ndarray:
+    """(T, order+1) WORLD-style mel-cepstrum sequence at a 5 ms hop
+    (the reference's _extract_mcep_sequence, metrics_computer.py:238-257)."""
+    from cosyvoice2_eu_tpu.train.pitch import estimate_f0
+
+    hop = int(sr * 0.005)
+    frame_len = min(2048, 2 ** int(np.ceil(np.log2(sr // 25))))
+    f0 = estimate_f0(
+        np.asarray(wav, np.float32), sr, hop=hop, frame_len=frame_len
+    )
+    sp = cheaptrick_envelope(np.asarray(wav, np.float64), f0, sr, hop)
+    alpha = 0.58 if sr <= 16000 else (0.65 if sr <= 22050 else 0.76)
+    return sp2mc(sp, order=order, alpha=alpha)
+
+
+def mcd(ref_wav: np.ndarray, gen_wav: np.ndarray, sr: int = 24000,
+        order: int = 12) -> float:
+    """True mel-cepstral distortion in dB — WORLD-class envelope + warped
+    cepstra c1..c12, DTW alignment, 10*sqrt(2)/ln(10) constant: directly
+    comparable with the reference's pyworld+pysptk numbers
+    (metrics_computer.py:259-310, BASELINE.md MCD rows)."""
+    target = 16000
+    r = _resample_to(ref_wav, sr, target)
+    g = _resample_to(gen_wav, sr, target)
+    c_ref = mcep_sequence(r, target, order)[:, 1:]
+    c_gen = mcep_sequence(g, target, order)[:, 1:]
+    if len(c_ref) < 2 or len(c_gen) < 2:
+        return float("nan")
+    cost = np.sqrt(np.sum((c_ref[:, None, :] - c_gen[None, :, :]) ** 2, axis=-1))
     pi, pj = dtw_path(cost)
     diff = c_ref[pi] - c_gen[pj]
     k = 10.0 / np.log(10.0) * np.sqrt(2.0)
@@ -192,26 +375,34 @@ def normalize_text_for_wer(text: str, lang: str = "fr") -> str:
 
 def test_metrics() -> dict:
     """Sine-pair smoke test (the reference's test_metrics,
-    evaluation/metrics_computer.py:689): identical signals score near-perfect;
-    detuned signals degrade in the expected direction."""
-    sr = 24000
-    t = np.arange(sr * 2) / sr
-    a = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
-    b = (0.5 * np.sin(2 * np.pi * 233 * t)).astype(np.float32)
+    evaluation/metrics_computer.py:689-709): identical signals score
+    near-perfect; a detuned+noised pair degrades in the expected direction,
+    and true MCD lands in the reference's documented expected range
+    ("single-digit/low double-digit dB — not hundreds")."""
+    sr = 16000
+    rng = np.random.default_rng(0)
+    t = np.linspace(0, 2.0, int(sr * 2.0))
+    a = (np.sin(2 * np.pi * 220 * t) * 0.5).astype(np.float32)
+    b = (np.sin(2 * np.pi * 230 * t) * 0.5 + rng.normal(0, 0.02, len(t))).astype(
+        np.float32
+    )
 
     same = {
         "mcd": mcd(a, a, sr),
+        "mcd_rel": mcd_rel(a, a, sr),
         "lsd": log_spectral_distance(a, a, sr),
         "f0_corr": pitch_metrics(a, a, sr).f0_corr,
     }
     diff = {
         "mcd": mcd(a, b, sr),
+        "mcd_rel": mcd_rel(a, b, sr),
         "lsd": log_spectral_distance(a, b, sr),
     }
     ok = (
         same["mcd"] < 1e-3
         and same["lsd"] < 1e-3
         and diff["mcd"] > same["mcd"]
+        and 0.5 < diff["mcd"] < 30.0  # dB scale sanity, not hundreds
         and diff["lsd"] > same["lsd"]
         and same["f0_corr"] > 0.9
     )

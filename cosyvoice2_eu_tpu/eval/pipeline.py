@@ -52,7 +52,7 @@ DEFAULT_MODELS = {
     "full_finetuned": {"setting": "llm_flow_hifigan", "hifigan_run_id": "original-real"},
 }
 
-METRIC_KEYS = ("rtf", "mcd", "lsd", "gpe", "f0_rmse", "f0_corr", "vuv_error", "secs", "wer")
+METRIC_KEYS = ("rtf", "mcd", "mcd_rel", "lsd", "gpe", "f0_rmse", "f0_corr", "vuv_error", "secs", "wer")
 
 
 def load_config(path: Optional[str]) -> dict:
@@ -251,8 +251,10 @@ class EvaluationPipeline:
 
     def _markdown_report(self, component: List[dict], duration: List[dict]) -> None:
         lines = [f"# Evaluation report — {self.language.upper()}", ""]
-        lines.append("mcd is the DTW DCT-mel variant (relative metric; not "
-                     "comparable to WORLD-mcep dB numbers).")
+        lines.append("mcd is true mel-cepstral distortion in dB (WORLD-class "
+                     "envelope + warped cepstra c1-c12, eval/metrics.py:mcd) — "
+                     "comparable with published MCD numbers; mcd_rel is the "
+                     "cheap DCT-mel relative variant.")
         for title, table in (("Component analysis", component),
                              ("Training-duration analysis", duration)):
             if not table:

@@ -76,15 +76,16 @@ def metrics_for_pair(
 ) -> dict:
     """All objective metrics for one (reference, generated) pair.
 
-    Note: mcd here is the DTW DCT-mel variant, a *relative* metric — not
-    directly comparable to the reference's WORLD+pysptk mcep dB numbers
-    (BASELINE.md); the summary labels it mcd_kind="dct-mel"."""
+    mcd is the TRUE dB metric (WORLD-class envelope + warped cepstra,
+    eval/metrics.py:mcd) — directly comparable with BASELINE.md; mcd_rel is
+    the cheap DCT-mel relative variant for within-run A/B deltas."""
     dur = len(wav) / sr
     row = {
         "audio_duration": round(dur, 3),
         "synthesis_time": round(synth_s, 3),
         "rtf": round(synth_s / max(dur, 1e-6), 4),
         "mcd": round(M.mcd(ref, wav, sr), 3),
+        "mcd_rel": round(M.mcd_rel(ref, wav, sr), 3),
         "lsd": round(M.log_spectral_distance(ref, wav, sr), 3),
     }
     pm = M.pitch_metrics(ref, wav, sr)
@@ -153,7 +154,7 @@ def evaluate_model(
 
     ok = [r for r in rows if "error" not in r]
     summary = {"model": model_name, "n": len(rows), "n_failed": len(rows) - len(ok)}
-    for k in ("rtf", "mcd", "lsd", "gpe", "f0_rmse", "f0_corr", "vuv_error", "secs", "wer"):
+    for k in ("rtf", "mcd", "mcd_rel", "lsd", "gpe", "f0_rmse", "f0_corr", "vuv_error", "secs", "wer"):
         vals = [r[k] for r in ok if k in r and np.isfinite(r[k])]
         if vals:
             summary[k] = round(float(np.mean(vals)), 4)

@@ -194,3 +194,52 @@ def test_metrics_smoke_mode():
     from cosyvoice2_eu_tpu.eval.metrics import test_metrics as tm
 
     assert tm()["ok"]
+
+def test_true_mcd_sine_smoke_matches_reference_expectations():
+    """The reference's own smoke (metrics_computer.py:689-709): detuned+noised
+    sine pair yields single-digit/low-double-digit dB, not hundreds; identical
+    signals yield ~0."""
+    out = M.test_metrics()
+    assert out["ok"], out
+
+
+def test_sp2mc_alpha_zero_is_plain_cepstrum():
+    """freqt with alpha=0 must be the identity on low quefrencies, so sp2mc
+    reduces to the plain real cepstrum of the log power spectrum."""
+    rng = np.random.default_rng(0)
+    n_bins = 129
+    log_sp = rng.standard_normal(n_bins) * 0.3
+    sp = np.exp(log_sp)[None]
+    mc = M.sp2mc(sp, order=12, alpha=0.0)[0]
+    c = np.fft.irfft(np.log(sp[0]))
+    c[0] /= 2.0
+    np.testing.assert_allclose(mc, c[:13], atol=1e-10)
+
+
+def test_sp2mc_known_cosine_log_spectrum():
+    """log sp(w) = 2 cos(w k0) has cepstrum delta at quefrency k0."""
+    n_fft = 256
+    w = np.arange(n_fft // 2 + 1) * 2 * np.pi / n_fft
+    log_sp = 2.0 * np.cos(3 * w)
+    mc = M.sp2mc(np.exp(log_sp)[None], order=8, alpha=0.0)[0]
+    expect = np.zeros(9)
+    expect[3] = 1.0  # irfft splits the 2cos into +/- quefrency 3 (1.0 each)
+    np.testing.assert_allclose(mc, expect, atol=1e-10)
+
+
+def test_cheaptrick_envelope_tracks_colored_noise():
+    """Envelope of AR(1)-colored noise follows the filter magnitude: MCD of
+    two independent draws through the SAME filter is small; through DIFFERENT
+    filters it is larger."""
+    from scipy.signal import lfilter
+
+    rng = np.random.default_rng(1)
+    sr = 16000
+    n = sr  # 1 s
+    a1 = lfilter([1.0], [1.0, -0.9], rng.normal(0, 0.1, n)).astype(np.float32)
+    a2 = lfilter([1.0], [1.0, -0.9], rng.normal(0, 0.1, n)).astype(np.float32)
+    b = lfilter([1.0], [1.0, 0.9], rng.normal(0, 0.1, n)).astype(np.float32)
+    same_filter = M.mcd(a1, a2, sr)
+    diff_filter = M.mcd(a1, b, sr)
+    assert 0.0 < same_filter < 8.0
+    assert diff_filter > same_filter
