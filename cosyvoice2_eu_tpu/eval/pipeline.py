@@ -206,8 +206,12 @@ class EvaluationPipeline:
                     rows,
                 )
                 all_rows.extend(rows)
+        # mixed-model runs land in a _mix-suffixed matrix so the reporting
+        # battery (eval/battery.py rq3) can pair them with the mono run
+        suffix = "_mix" if self.use_mixed_model else ""
         _write_csv(
-            os.path.join(self.out_dir, f"combined_{self.language}.csv"), all_rows
+            os.path.join(self.out_dir, f"combined_{self.language}{suffix}.csv"),
+            all_rows,
         )
         component = self.component_analysis(all_rows)
         duration = self.duration_analysis(all_rows)

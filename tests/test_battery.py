@@ -1,0 +1,123 @@
+"""Reporting battery: RQ1/RQ2/RQ3/B1/appendix over synthetic matrices."""
+
+import csv
+import json
+import os
+
+import numpy as np
+import pytest
+
+from cosyvoice2_eu_tpu.eval import battery as B
+
+
+def _write_combined(path, language, models, hours_list, rng, wer_of=None):
+    rows = []
+    for model in models:
+        for hours in hours_list:
+            for i in range(4):
+                base = wer_of(model, hours) if wer_of else 0.2
+                rows.append({
+                    "utt_id": f"u{i}", "speaker": "spk", "model": model,
+                    "hours": hours, "language": language,
+                    "wer": round(base + rng.normal(0, 0.01), 4),
+                    "mcd": round(8.0 + rng.normal(0, 0.2), 3),
+                    "secs": round(0.25 + rng.normal(0, 0.01), 4),
+                    "f0_corr": round(0.6 + rng.normal(0, 0.02), 3),
+                    "vuv_error": round(40 + rng.normal(0, 1), 2),
+                    "rtf": round(0.06 + rng.normal(0, 0.005), 4),
+                })
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    keys = list(rows[0].keys())
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=keys)
+        w.writeheader()
+        w.writerows(rows)
+    return rows
+
+
+def _wer_of(model, hours):
+    # full_finetuned improves with hours and beats everything at 250h
+    base = {"pretrained": 0.5, "llm_only": 0.3, "flow_only": 0.45,
+            "full_finetuned": 0.25}.get(model, 0.35)
+    return base - (0.0002 * hours if model == "full_finetuned" else 0)
+
+
+@pytest.fixture()
+def results_dir(tmp_path):
+    rng = np.random.default_rng(0)
+    models = ["pretrained", "llm_only", "flow_only", "full_finetuned"]
+    hours = [50, 100, 250]
+    for lang in ("fr", "de"):
+        _write_combined(str(tmp_path / f"combined_{lang}.csv"), lang, models,
+                        hours, rng, _wer_of)
+    # mixed run for fr only
+    _write_combined(str(tmp_path / "combined_fr_mix.csv"), "fr",
+                    ["full_finetuned"], hours, rng,
+                    lambda m, h: _wer_of(m, h) - 0.02)
+    return str(tmp_path)
+
+
+def test_generate_battery_end_to_end(results_dir):
+    manifest = B.generate_battery(results_dir)
+    out = manifest["out_dir"]
+    assert manifest["languages"] == ["de", "fr"]
+    # RQ1 anchor: full_finetuned at the largest hour (lowest wer)
+    assert manifest["fr"]["anchor"]["winner"] == "full_finetuned"
+    assert manifest["fr"]["anchor"]["best_hour"] == 250
+    # artifacts exist
+    names = manifest["written"]
+    assert any("RQ1_component-ablation_fr" in n and n.endswith(".tex") for n in names)
+    assert any("RQ2_learning-curve_fr" in n and n.endswith(".csv") for n in names)
+    assert any("RQ3_mix-vs-mono_fr" in n for n in names)
+    assert any("B1_baselines-vs-best_fr" in n for n in names)
+    assert any("B1_compact_cross_language" in n for n in names)
+    assert any("APPX_speed_fr" in n for n in names)
+    assert any(n.startswith("charts/") for n in names)
+    # B1 falls back to published constants when no measured baselines exist
+    with open(os.path.join(out, "tables", "B1_baselines-vs-best_fr.csv")) as f:
+        rows = list(csv.DictReader(f))
+    systems = {r["system"] for r in rows}
+    assert "XTTS-v2" in systems and "ours" in systems
+    pub = [r for r in rows if r["system"] == "XTTS-v2"][0]
+    assert pub["source"].startswith("published")
+    assert abs(float(pub["mcd"]) - 6.69) < 1e-6  # BASELINE.md constant
+
+
+def test_rq3_delta_signs(results_dir):
+    data = B.load_all_results(results_dir, "fr")
+    out = os.path.join(results_dir, "report")
+    B.rq3_mix_vs_mono(data["mono"], data["mix"], "fr", out)
+    with open(os.path.join(out, "tables", "RQ3_mix-vs-mono_fr.csv")) as f:
+        rows = list(csv.DictReader(f))
+    # mix was built 0.02 better (lower) on wer: delta = mix - mono < 0
+    for r in rows:
+        assert float(r["wer_delta"]) < 0
+
+
+def test_measured_baselines_preferred(results_dir):
+    # write a measured baselines file; it must shadow the published constants
+    with open(os.path.join(results_dir, "baselines_fr.csv"), "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["utt_id", "model", "wer", "mcd",
+                                          "secs", "f0_corr", "vuv_error"])
+        w.writeheader()
+        for i in range(3):
+            w.writerow({"utt_id": f"u{i}", "model": "baseline_fake",
+                        "wer": 0.3, "mcd": 9.0, "secs": 0.2,
+                        "f0_corr": 0.5, "vuv_error": 45.0})
+    manifest = B.generate_battery(results_dir)
+    with open(os.path.join(manifest["out_dir"], "tables",
+                           "B1_baselines-vs-best_fr.csv")) as f:
+        rows = list(csv.DictReader(f))
+    systems = {r["system"] for r in rows}
+    assert "baseline_fake" in systems
+    assert "XTTS-v2" not in systems  # measured rows replace published table
+    measured = [r for r in rows if r["system"] == "baseline_fake"][0]
+    assert measured["source"] == "measured"
+
+
+def test_pct_impr_direction():
+    # error metric: lower current than baseline -> positive improvement
+    assert B.pct_impr(0.08, 0.10, "wer") > 0
+    # quality metric: higher current -> positive improvement
+    assert B.pct_impr(0.30, 0.25, "secs") > 0
+    assert B.pct_impr(0.20, 0.25, "secs") < 0
