@@ -296,11 +296,16 @@ def main(argv=None):
     p.add_argument("--test-dataset", action="store_true")
     p.add_argument("--test-synthesis", action="store_true")
     p.add_argument("--test-metrics", action="store_true")
+    p.add_argument("--test-baselines", action="store_true")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
     if args.test_metrics:
         return 0 if M.test_metrics()["ok"] else 1
+    if args.test_baselines:
+        from cosyvoice2_eu_tpu.eval.baselines import test_baselines
+
+        return 0 if test_baselines()["ok"] else 1
     if args.test_synthesis:
         from cosyvoice2_eu_tpu.eval.synthesizer import test_synthesizer
 

@@ -121,3 +121,55 @@ def test_pct_impr_direction():
     # quality metric: higher current -> positive improvement
     assert B.pct_impr(0.30, 0.25, "secs") > 0
     assert B.pct_impr(0.20, 0.25, "secs") < 0
+
+
+# ---------------------------------------------------------------------------
+# baselines wrapper layer (eval/baselines.py)
+# ---------------------------------------------------------------------------
+
+def test_baselines_smoke_fake_engine(tmp_path):
+    from cosyvoice2_eu_tpu.eval.baselines import test_baselines
+
+    out = test_baselines(str(tmp_path))
+    assert out["ok"], out
+
+
+def test_baselines_feed_b1(tmp_path, results_dir):
+    """A fake-engine baselines run must surface in B1 as a measured system."""
+    import shutil
+
+    from cosyvoice2_eu_tpu.eval.baselines import BaselinesRunner, _write_wav
+    from cosyvoice2_eu_tpu.eval.run_eval import EvalSample
+
+    rng = np.random.default_rng(1)
+    samples = []
+    for i in range(2):
+        wav_path = str(tmp_path / "spk" / f"u{i}.wav")
+        _write_wav(wav_path, rng.normal(0, 0.1, 24000).astype(np.float32), 24000)
+        samples.append(EvalSample(f"u{i}", "spk", wav_path, "hallo welt " * 3))
+    runner = BaselinesRunner(engine="fake", language="fr")
+    rows = runner.run(samples, results_dir)
+    assert rows and all(r["model"] == "baseline_fake" for r in rows)
+
+    manifest = B.generate_battery(results_dir)
+    with open(os.path.join(manifest["out_dir"], "tables",
+                           "B1_baselines-vs-best_fr.csv")) as f:
+        b1 = list(csv.DictReader(f))
+    assert any(r["system"] == "baseline_fake" and r["source"] == "measured"
+               for r in b1)
+
+
+def test_gated_engines_raise_cleanly():
+    from cosyvoice2_eu_tpu.eval.baselines import ENGINES
+
+    for name in ("xtts_v2", "openvoice"):
+        with pytest.raises((ImportError, RuntimeError)):
+            ENGINES[name](language="fr")
+    # elevenlabs without the API key
+    old = os.environ.pop("ELEVENLABS_API_KEY", None)
+    try:
+        with pytest.raises(RuntimeError):
+            ENGINES["elevenlabs"](language="fr")
+    finally:
+        if old is not None:
+            os.environ["ELEVENLABS_API_KEY"] = old
