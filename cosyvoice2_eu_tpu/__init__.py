@@ -270,9 +270,49 @@ def resolve_backbone(backbone: Optional[str], model_dir: Optional[str]):
     )
 
 
+def _snapshot_download(repo_id: str, required: bool = False) -> Optional[str]:
+    """HF snapshot into ~/.cache/cosyvoice2-eu (reference standalone
+    __init__.py:96-129).  Returns the local dir, or None when the hub client
+    or network is unavailable and the download was only opportunistic."""
+    target = os.path.expanduser(
+        os.environ.get("COSY2EU_CACHE", "~/.cache/cosyvoice2-eu")
+    )
+    try:
+        from huggingface_hub import snapshot_download  # type: ignore
+    except ImportError:
+        if required:
+            raise ImportError(
+                "load(download=True) needs huggingface_hub; pass model_dir= "
+                "with a local checkout instead"
+            )
+        return None
+    try:
+        snapshot_download(repo_id=repo_id, local_dir=target, etag_timeout=10)
+        return target
+    except Exception:
+        if required:
+            raise
+        # opportunistic path (no network / partial cache): a previously
+        # downloaded snapshot still works offline
+        if os.path.exists(os.path.join(target, "llm.pt")) or os.path.isdir(
+            os.path.join(target, "original")
+        ):
+            return target
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "snapshot_download(%s) failed and no cached copy at %s; "
+            "building a random-initialized model (pass model_dir= for real "
+            "weights)", repo_id, target,
+        )
+        return None
+
+
 def load(
     *,
     model_dir: Optional[str] = None,
+    repo_id: str = "hi-paris/CosyVoice2-0.5B-EU",
+    download: Optional[bool] = None,
     setting: str = "llm_flow_hifigan",
     llm_run_id: Optional[str] = None,
     flow_run_id: Optional[str] = None,
@@ -286,11 +326,16 @@ def load(
 ) -> Cosy2EU:
     """Load the model once and reuse for multiple in-memory calls.
 
-    model_dir must contain the reference checkpoints (llm.pt/flow.pt/hift.pt
-    naming matrix) plus the Qwen tokenizer files.  With model_dir=None a
-    random-initialized model is built (smoke tests / benchmarking shapes).
-    backbone selects the LM backbone (blanken | hf:<id> | local:<path>),
-    mirroring the reference CLI (standalone_infer cli.py:64).
+    Published install-and-run contract (reference standalone
+    __init__.py:96-129): with no model_dir and no config, the HF snapshot
+    ``repo_id`` is downloaded to ``~/.cache/cosyvoice2-eu`` (requires
+    ``huggingface_hub`` + network; ``download=False`` skips, a path in
+    ``model_dir`` skips).  model_dir must contain the reference checkpoints
+    (llm.pt/flow.pt/hift.pt naming matrix) plus the Qwen tokenizer files.
+    With config= and no model_dir a random-initialized model is built
+    (smoke tests / benchmarking shapes).  backbone selects the LM backbone
+    (blanken | hf:<id> | local:<path>), mirroring the reference CLI
+    (standalone_infer cli.py:64).
     """
     import dataclasses
 
@@ -299,6 +344,9 @@ def load(
     from cosyvoice2_eu_tpu.frontend.frontend import Frontend
     from cosyvoice2_eu_tpu.frontend.tokenizer import get_tokenizer
     from cosyvoice2_eu_tpu.runtime.model import TTSModel
+
+    if model_dir is None and config is None and download is not False:
+        model_dir = _snapshot_download(repo_id, required=download is True)
 
     # persistent XLA compile cache: a warm cache cuts the cold-start compile
     # from minutes to seconds across processes (the role TRT/JIT artifacts

@@ -33,14 +33,21 @@ _GERMAN_WORDS = re.compile(
 
 
 def detect_language(text: str) -> str:
-    """Heuristic FR/DE/EN language id (per sentence)."""
+    """FR/DE/EN language id (per sentence).
+
+    Statistical trigram profiles (frontend/lid.py — the reference's lingua
+    analog, frontend.py:297) decide; the keyword/diacritic heuristic below
+    is the tie-break for very short inputs where trigram evidence is thin."""
+    from cosyvoice2_eu_tpu.frontend.lid import detect_language as lid_detect
+
     fr_score = (2 if _FRENCH_CHARS.search(text) else 0) + len(_FRENCH_WORDS.findall(text))
     de_score = (2 if _GERMAN_CHARS.search(text) else 0) + len(_GERMAN_WORDS.findall(text))
-    if fr_score >= 2 and fr_score >= de_score:
-        return "fr"
-    if de_score >= 2:
-        return "de"
-    return "en"
+    if len(text.split()) <= 3:  # too short for stable trigram statistics
+        if fr_score > de_score and fr_score >= 1:
+            return "fr"
+        if de_score > fr_score and de_score >= 1:
+            return "de"
+    return lid_detect(text)
 
 
 def remove_bracket(text: str) -> str:

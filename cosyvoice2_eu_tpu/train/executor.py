@@ -150,6 +150,7 @@ class Executor:
         self.log_fn = log_fn or (lambda m: None)
         self.step = 0
         self.epoch = 0
+        self.on_step: Callable[[int], None] = lambda step: None  # watchdog hook
         os.makedirs(model_dir, exist_ok=True)
 
     def cross_validate(self, state, cv_batches: Iterable[dict]) -> float:
@@ -167,6 +168,7 @@ class Executor:
         for batch in train_batches:
             state, metrics = self.step_fn(state, batch)
             self.step += 1
+            self.on_step(self.step)
             if self.step % cfg.log_interval == 0:
                 log = {k: float(v) for k, v in metrics.items()}
                 log.update(step=self.step, epoch=self.epoch)

@@ -333,9 +333,22 @@ def main(argv=None):
                 if info["tag"].endswith("_whole"):
                     start_epoch += 1
 
-        for epoch in range(start_epoch, max_epoch):
-            executor.epoch = epoch
-            state = executor.train_epoch(state, train_iter(epoch), cv_iter())
+        from cosyvoice2_eu_tpu.parallel.distributed import (
+            StragglerGuard,
+            join_uneven_inputs,
+        )
+
+        # uneven-shard join + hung-host watchdog (reference cosyvoice_join /
+        # monitored barrier, train_utils.py:269-287)
+        with StragglerGuard(tag=f"{args.model}-train") as guard:
+            executor.on_step = guard.beat
+            for epoch in range(start_epoch, max_epoch):
+                executor.epoch = epoch
+                state = executor.train_epoch(
+                    state,
+                    join_uneven_inputs(train_iter(epoch), tag=f"epoch{epoch}"),
+                    join_uneven_inputs(cv_iter(), tag=f"cv{epoch}"),
+                )
 
 
 if __name__ == "__main__":

@@ -1,5 +1,7 @@
 """Reference-compatible CosyVoice2 shim (the eval harness entry point)."""
 
+import os
+
 import numpy as np
 import pytest
 import torch
@@ -88,3 +90,38 @@ def test_spk2info_pt_roundtrip(tmp_path):
     assert art["speech_tokens"].shape == (n_sp,)
     assert art["embedding"].shape == (cfg.frontend.spk_embed_dim,)
     assert art["prompt_text"] == "bonjour"
+
+
+def test_snapshot_download_contract(tmp_path, monkeypatch):
+    """load()'s install-and-run path (reference standalone __init__.py:96-129):
+    downloads into the cache dir, tolerates offline when opportunistic,
+    raises when explicitly requested."""
+    import cosyvoice2_eu_tpu as cosy
+
+    target = tmp_path / "hub_cache"
+    monkeypatch.setenv("COSY2EU_CACHE", str(target))
+
+    calls = {}
+
+    def fake_snapshot(repo_id, local_dir, **kw):
+        calls["repo_id"] = repo_id
+        os.makedirs(local_dir, exist_ok=True)
+
+    import huggingface_hub
+
+    monkeypatch.setattr(huggingface_hub, "snapshot_download", fake_snapshot)
+    got = cosy._snapshot_download("hi-paris/CosyVoice2-0.5B-EU")
+    assert got == str(target) and calls["repo_id"] == "hi-paris/CosyVoice2-0.5B-EU"
+
+    def failing_snapshot(*a, **kw):
+        raise OSError("no egress")
+
+    monkeypatch.setattr(huggingface_hub, "snapshot_download", failing_snapshot)
+    # opportunistic: no cached llm.pt -> None (random-init path)
+    assert cosy._snapshot_download("x/y") is None
+    # explicitly requested -> surface the failure
+    with pytest.raises(OSError):
+        cosy._snapshot_download("x/y", required=True)
+    # previously-cached snapshot survives offline
+    (target / "llm.pt").write_bytes(b"")
+    assert cosy._snapshot_download("x/y") == str(target)

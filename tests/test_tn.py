@@ -102,3 +102,34 @@ def test_full_normalizers_leave_no_digits():
     en = normalize_english("Pay $1,234.56 on the 3rd at 14:30, about 50 %.")
     for s in (fr, de, en):
         assert _no_digits(s), s
+
+
+def test_trigram_lid_short_mixed_sentences():
+    """Statistical LID (frontend/lid.py, the lingua analog frontend.py:297)
+    on exactly the short mixed-language sentences the heuristic missed."""
+    from cosyvoice2_eu_tpu.frontend.text import detect_language as d
+
+    cases = [
+        ("Je ne sais pas", "fr"), ("Das weiß ich nicht", "de"),
+        ("I don't know about that", "en"),
+        ("Nous allons au cinema ce soir", "fr"),
+        ("Wir gehen heute abend ins kino", "de"),
+        ("We are going to the cinema tonight", "en"),
+        ("la vie est belle", "fr"), ("das leben ist schoen", "de"),
+        ("life is beautiful", "en"),
+        ("merci beaucoup", "fr"), ("vielen dank", "de"),
+        ("thank you very much", "en"),
+        ("une bonne idee pour demain", "fr"),
+        ("eine gute idee fuer morgen", "de"),
+        ("a good idea for tomorrow", "en"),
+    ]
+    wrong = [(t, want, d(t)) for t, want in cases if d(t) != want]
+    assert not wrong, wrong
+
+
+def test_trigram_lid_orthographic_shortcuts():
+    from cosyvoice2_eu_tpu.frontend.lid import detect_language
+
+    assert detect_language("Straße") == "de"  # ß pins German
+    assert detect_language("ça va") == "fr"   # ç pins French
+    assert detect_language("xq zz") == "en"   # too little evidence -> default

@@ -234,3 +234,59 @@ def test_train_cli_end_to_end(tmp_path):
 
         ckpts = [f for f in _os.listdir(model_dir) if f.endswith(".json")]
         assert ckpts, f"no checkpoint written for {tag}"
+
+
+def test_join_uneven_inputs_breaks_together():
+    """When any host runs dry, every host stops at the same step (the
+    reference's cosyvoice_join semantics without the timeout hazard)."""
+    from cosyvoice2_eu_tpu.parallel.distributed import join_uneven_inputs
+
+    # simulate: this host has 5 batches, a peer has only 3
+    peer_remaining = {"n": 3}
+
+    def agree(mine):
+        peer = peer_remaining["n"] > 0
+        peer_remaining["n"] -= 1
+        return mine and peer
+
+    got = list(join_uneven_inputs(iter(range(5)), agree_fn=agree, tag="t"))
+    assert got == [0, 1, 2]  # stopped when the peer ran out
+
+    # symmetric: this host dry first -> generator ends immediately
+    got = list(join_uneven_inputs(iter([]), agree_fn=lambda m: m, tag="t"))
+    assert got == []
+
+
+def test_straggler_guard_detects_stall(caplog):
+    import logging as _logging
+    import time
+
+    from cosyvoice2_eu_tpu.parallel.distributed import StragglerGuard
+
+    with caplog.at_level(_logging.ERROR):
+        with StragglerGuard(timeout_s=0.3, tag="unit",
+                            first_beat_grace_s=0.1) as g:
+            g.beat(1)
+            time.sleep(1.2)  # no further beats -> watchdog fires
+    assert any("NO step progress" in r.message for r in caplog.records)
+
+
+def test_straggler_guard_quiet_when_beating():
+    import logging as _logging
+    import time
+
+    from cosyvoice2_eu_tpu.parallel.distributed import StragglerGuard
+
+    records = []
+    handler = _logging.Handler()
+    handler.emit = lambda r: records.append(r)
+    _logging.getLogger().addHandler(handler)
+    try:
+        with StragglerGuard(timeout_s=0.6, tag="unit2",
+                            first_beat_grace_s=0.1) as g:
+            for i in range(6):
+                g.beat(i)
+                time.sleep(0.1)
+    finally:
+        _logging.getLogger().removeHandler(handler)
+    assert not any("NO step progress" in r.getMessage() for r in records)
