@@ -348,6 +348,13 @@ def load(
     if model_dir is None and config is None and download is not False:
         model_dir = _snapshot_download(repo_id, required=download is True)
 
+    if model_dir is not None and os.path.isdir(os.path.join(model_dir, "aot_store")):
+        # shipped AOT executable store (cosy2-eu warmup --export-store):
+        # first audio on a fresh machine without tracing/compiling
+        from cosyvoice2_eu_tpu.runtime import aot_cache
+
+        aot_cache.set_cache_dir(os.path.join(model_dir, "aot_store"))
+
     # persistent XLA compile cache: a warm cache cuts the cold-start compile
     # from minutes to seconds across processes (the role TRT/JIT artifacts
     # play in the reference, cli/model.py:100-116,285-287)

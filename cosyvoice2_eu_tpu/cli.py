@@ -41,6 +41,15 @@ def save_wav(path: str, audio: np.ndarray, sr: int) -> None:
 
 
 def main(argv=None):
+    import sys
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv[:1] == ["warmup"]:
+        # `cosy2-eu warmup`: precompile + export the AOT executable store so
+        # a fresh machine's first audio skips compilation entirely
+        from cosyvoice2_eu_tpu.runtime.warmup import warmup_main
+
+        return warmup_main(argv[1:])
     parser = argparse.ArgumentParser(
         description="CosyVoice2-EU TPU inference (cross-lingual cloning)"
     )

@@ -29,21 +29,40 @@ logger = logging.getLogger(__name__)
 
 @functools.lru_cache(maxsize=1)
 def _source_salt() -> str:
-    """Newest mtime across package sources: code changes invalidate entries."""
+    """Content hash of the package sources: code changes invalidate entries,
+    while identical sources on a DIFFERENT machine (shipped store, fresh
+    install — mtimes differ, bytes don't) keep hitting."""
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    newest = 0.0
-    for dirpath, _, files in os.walk(root):
-        for f in files:
+    h = hashlib.sha256()
+    for dirpath, dirs, files in sorted(os.walk(root)):
+        dirs.sort()
+        for f in sorted(files):
             if f.endswith(".py"):
+                path = os.path.join(dirpath, f)
+                h.update(os.path.relpath(path, root).encode())
                 try:
-                    newest = max(newest, os.path.getmtime(os.path.join(dirpath, f)))
+                    with open(path, "rb") as fh:
+                        h.update(fh.read())
                 except OSError:
                     pass
-    return f"{newest:.0f}"
+    return h.hexdigest()[:16]
+
+
+_cache_dir_override: str | None = None
+
+
+def set_cache_dir(path: str | None) -> None:
+    """Point the store somewhere explicit (e.g. <model_dir>/aot_store, set by
+    load() when a shipped store is present).  The COSY_AOT_CACHE env var
+    still wins so operators can force/disable."""
+    global _cache_dir_override
+    _cache_dir_override = path
 
 
 def cache_dir() -> str | None:
-    val = os.environ.get("COSY_AOT_CACHE", "/tmp/cosy_aot")
+    val = os.environ.get("COSY_AOT_CACHE")
+    if val is None:
+        val = _cache_dir_override or "/tmp/cosy_aot"
     if val.lower() in ("off", "0", "none", ""):
         return None
     return val

@@ -42,3 +42,64 @@ def test_cpu_backend_skips_persistence(tmp_path, monkeypatch):
 def test_disable_via_env(monkeypatch):
     monkeypatch.setenv("COSY_AOT_CACHE", "off")
     assert aot_cache.cache_dir() is None
+
+
+def test_source_salt_is_content_based(tmp_path):
+    """Identical sources on a different machine (different mtimes) must hash
+    the same, so a shipped store keeps hitting; the salt is deterministic."""
+    from cosyvoice2_eu_tpu.runtime import aot_cache
+
+    s1 = aot_cache._source_salt()
+    aot_cache._source_salt.cache_clear()
+    s2 = aot_cache._source_salt()
+    assert s1 == s2 and len(s1) == 16
+
+
+def test_cache_dir_precedence(monkeypatch):
+    from cosyvoice2_eu_tpu.runtime import aot_cache
+
+    monkeypatch.delenv("COSY_AOT_CACHE", raising=False)
+    aot_cache.set_cache_dir(None)
+    assert aot_cache.cache_dir() == "/tmp/cosy_aot"
+    aot_cache.set_cache_dir("/models/aot_store")
+    assert aot_cache.cache_dir() == "/models/aot_store"
+    monkeypatch.setenv("COSY_AOT_CACHE", "/env/wins")
+    assert aot_cache.cache_dir() == "/env/wins"
+    monkeypatch.setenv("COSY_AOT_CACHE", "off")
+    assert aot_cache.cache_dir() is None
+    aot_cache.set_cache_dir(None)
+
+
+def test_warmup_flow_runs_tiny(monkeypatch, tmp_path):
+    """cosy2-eu warmup flow end-to-end on the tiny config (CPU: programs run
+    and the store path is wired; persistence itself is accelerator-only)."""
+    import cosyvoice2_eu_tpu as cosy
+    from cosyvoice2_eu_tpu.config import tiny_test_config
+    from cosyvoice2_eu_tpu.runtime import aot_cache
+    from cosyvoice2_eu_tpu.runtime.warmup import warmup_programs
+
+    monkeypatch.delenv("COSY_AOT_CACHE", raising=False)
+    aot_cache.set_cache_dir(str(tmp_path / "store"))
+    try:
+        api = cosy.load(config=tiny_test_config(), seed=0)
+        stats = warmup_programs(api._model, prompt_seconds=(1,), batch=0)
+        assert stats["modes"] == 3
+    finally:
+        aot_cache.set_cache_dir(None)
+
+
+def test_load_picks_up_shipped_store(monkeypatch, tmp_path):
+    from cosyvoice2_eu_tpu.runtime import aot_cache
+
+    monkeypatch.delenv("COSY_AOT_CACHE", raising=False)
+    store = tmp_path / "aot_store"
+    store.mkdir()
+    # load() fails later on missing checkpoints, but must set the store first
+    import cosyvoice2_eu_tpu as cosy
+
+    try:
+        cosy.load(model_dir=str(tmp_path))
+    except Exception:
+        pass
+    assert aot_cache.cache_dir() == str(store)
+    aot_cache.set_cache_dir(None)
