@@ -559,6 +559,56 @@ def slot_prefill(
     )
 
 
+def prefill_row(params, cfg: LMConfig, ids: jnp.ndarray, src: jnp.ndarray,
+                prompt_len: jnp.ndarray, max_cache: int, dtype=jnp.bfloat16):
+    """Pure prompt prefill into a standalone KV row: (row, last_hidden).
+
+    No dependency on the engine's SlotState, so the serving engine can
+    dispatch it the moment a request arrives — overlapping with ongoing
+    slot decode — and merge it later with the tiny slot_insert op at a
+    chunk boundary (admission no longer stalls live streams)."""
+    row = KVCache.zeros(cfg.backbone, 1, max_cache, dtype)
+    embeds = embed_mixed(params, ids, src)
+    last, row = qwen2_prefill(
+        params["backbone"], cfg.backbone, embeds, prompt_len[None], row
+    )
+    return row, last
+
+
+def slot_insert(
+    state: SlotState, slot: jnp.ndarray, row: KVCache, last: jnp.ndarray,
+    prompt_len: jnp.ndarray, min_len: jnp.ndarray, max_len: jnp.ndarray,
+    p_bucket: jnp.ndarray,
+) -> SlotState:
+    """Merge a prefilled row (prefill_row) into `slot`.  O(row-copy) — no
+    forward pass; equivalent to slot_prefill given the same inputs."""
+    kv = KVCache(
+        jax.lax.dynamic_update_slice_in_dim(
+            state.kv.k, row.k.astype(state.kv.k.dtype), slot, axis=1),
+        jax.lax.dynamic_update_slice_in_dim(
+            state.kv.v, row.v.astype(state.kv.v.dtype), slot, axis=1),
+    )
+
+    def put(arr, val):
+        return arr.at[slot].set(jnp.asarray(val, arr.dtype))
+
+    return state._replace(
+        kv=kv,
+        tokens=state.tokens.at[slot].set(0),
+        recent=state.recent.at[slot].set(-1),
+        lengths=put(state.lengths, 0),
+        finished=put(state.finished, False),
+        active=put(state.active, True),
+        last_hidden=state.last_hidden.at[slot].set(
+            last[0].astype(state.last_hidden.dtype)),
+        gen_step=put(state.gen_step, 0),
+        base=put(state.base, p_bucket),
+        prompt_len=put(state.prompt_len, prompt_len),
+        min_len=put(state.min_len, min_len),
+        max_len=put(state.max_len, max_len),
+    )
+
+
 def slots_decode(params, cfg: LMConfig, state: SlotState, k_steps: int) -> SlotState:
     """Advance every active, unfinished slot by up to k_steps decode steps."""
     max_cache = state.kv.k.shape[3]

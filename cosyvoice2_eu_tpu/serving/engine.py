@@ -206,6 +206,10 @@ class TTSEngine:
             donate_argnums=(1,),
         )
         self._prefill_cache: dict = {}
+        self._insert_jit = None
+        from collections import deque
+
+        self._staged: "deque" = deque()
         self._pending: "queue.Queue[_Request]" = queue.Queue()
         self._slots: list[Optional[_Request]] = [None] * n_slots
         self._lock = threading.Lock()
@@ -235,30 +239,50 @@ class TTSEngine:
                 self._thread.start()
 
     def _prefill_fn(self, p_bucket: int):
-        # NOT donated: prefill is once-per-request, and donating self.state
-        # would leave a deleted buffer behind if the call fails mid-dispatch
-        # (the retry and all later _decode calls would then run on a corpse).
+        # PURE prefill (no SlotState argument): dispatched the moment a
+        # request arrives, overlapping with ongoing slot decode; the result
+        # merges via the tiny _insert op at a chunk boundary, so admission
+        # no longer stalls live streams behind a full prompt forward pass.
         if p_bucket not in self._prefill_cache:
+            dtype = self.state.kv.k.dtype
+            max_cache = self.state.kv.k.shape[3]
             self._prefill_cache[p_bucket] = jax.jit(
-                lambda params, st, slot, ids, src, pl, mn, mx: llm_mod.slot_prefill(
-                    params, self.cfg.llm, st, slot, ids, src, pl, mn, mx,
+                lambda params, ids, src, pl: llm_mod.prefill_row(
+                    params, self.cfg.llm, ids, src, pl, max_cache, dtype,
                 ),
             )
         return self._prefill_cache[p_bucket]
 
-    def _admit(self, req: _Request, slot: int):
+    @property
+    def _insert_fn(self):
+        if self._insert_jit is None:
+            self._insert_jit = jax.jit(
+                llm_mod.slot_insert, donate_argnums=(0,)
+            )
+        return self._insert_jit
+
+    def _stage(self, req: _Request):
+        """Dispatch prefill + build the flow session ahead of a free slot."""
         model = self.model
         ids, src, prompt_len, p_bucket, min_len, max_len = model._pack_lm_prompt(req.prompt)
         if p_bucket >= self.state.kv.k.shape[3]:
             raise ValueError(f"prompt bucket {p_bucket} exceeds engine cache")
-        self.state = self._prefill_fn(p_bucket)(
-            model.params["llm"], self.state, jnp.asarray(slot, jnp.int32), jnp.asarray(ids),
-            jnp.asarray(src), jnp.asarray(prompt_len, jnp.int32),
-            jnp.asarray(min_len, jnp.int32),
-            jnp.asarray(min(max_len, self.max_gen), jnp.int32),
+        row, last = self._prefill_fn(p_bucket)(
+            model.params["llm"], jnp.asarray(ids), jnp.asarray(src),
+            jnp.asarray(prompt_len, jnp.int32),
+        )
+        req.session = StreamSession(model, req.prompt, speed=req.speed)
+        meta = (prompt_len, min_len, min(max_len, self.max_gen), p_bucket)
+        self._staged.append((req, row, last, meta))
+
+    def _insert(self, slot: int):
+        req, row, last, (pl, mn, mx, pb) = self._staged.popleft()
+        self.state = self._insert_fn(
+            self.state, jnp.asarray(slot, jnp.int32), row, last,
+            jnp.asarray(pl, jnp.int32), jnp.asarray(mn, jnp.int32),
+            jnp.asarray(mx, jnp.int32), jnp.asarray(pb, jnp.int32),
         )
         req.slot = slot
-        req.session = StreamSession(model, req.prompt, speed=req.speed)
         self._slots[slot] = req
 
     def _loop(self):
@@ -272,6 +296,10 @@ class TTSEngine:
                     req.failed = msg
                     req.out.put(None)
                     self._slots[slot] = None
+            while self._staged:
+                req = self._staged.popleft()[0]
+                req.failed = msg
+                req.out.put(None)
             while True:
                 try:
                     req = self._pending.get_nowait()
@@ -294,32 +322,35 @@ class TTSEngine:
                 self._running = False  # a later submit() restarts the thread
 
     def _loop_once(self):
-        # admit pending requests into free slots
-        admitted = False
-        for slot in range(self.n_slots):
-            if self._slots[slot] is None:
-                try:
-                    req = self._pending.get_nowait()
-                except queue.Empty:
-                    break
-                try:
-                    self._admit(req, slot)
-                    admitted = True
-                except Exception:
-                    # transient backend failures (e.g. a remote-compile
-                    # transport hiccup) get one retry before surfacing
-                    import time as _time
+        # stage pending requests (pure prefill dispatch + session build) the
+        # moment they arrive — even while every slot is busy — so the device
+        # overlaps prompt prefill with ongoing decode chunks
+        while len(self._staged) < self.n_slots + 2:
+            try:
+                req = self._pending.get_nowait()
+            except queue.Empty:
+                break
+            try:
+                self._stage(req)
+            except Exception:
+                # transient backend failures (e.g. a remote-compile transport
+                # hiccup) get one retry before surfacing; prefill is pure, so
+                # retrying is always safe
+                import time as _time
 
-                    _time.sleep(1.0)
-                    try:
-                        self._admit(req, slot)
-                        admitted = True
-                    except Exception as e2:
-                        req.failed = str(e2)
-                        req.out.put(None)
+                _time.sleep(1.0)
+                try:
+                    self._stage(req)
+                except Exception as e2:
+                    req.failed = str(e2)
+                    req.out.put(None)
+        # merge staged requests into free slots (cheap row copy, no forward)
+        for slot in range(self.n_slots):
+            if self._slots[slot] is None and self._staged:
+                self._insert(slot)
         active = [r for r in self._slots if r is not None]
         if not active:
-            if self._pending.empty() and not admitted:
+            if self._pending.empty() and not self._staged:
                 try:
                     req = self._pending.get(timeout=0.2)
                     self._pending.put(req)

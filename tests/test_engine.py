@@ -174,3 +174,68 @@ def test_engine_loop_death_fails_requests_and_recovers(model):
         assert len(total) > 0 and np.isfinite(total).all()
     finally:
         engine.close()
+
+
+def test_prefill_row_insert_equals_slot_prefill(model):
+    """Staged admission (pure prefill_row + slot_insert) must be equivalent
+    to the direct slot_prefill on a fresh state — same KV, same metadata."""
+    cfg = CFG.llm
+    params = model.params["llm"]
+    p = _prompt(5)
+    ids, src, prompt_len, p_bucket, min_len, max_len = model._pack_lm_prompt(p)
+    max_cache, max_gen = 256, 64
+
+    direct = llm_mod.slot_prefill(
+        params, cfg,
+        llm_mod.slots_init(cfg, 2, max_cache, max_gen, jax.random.key(3),
+                           dtype=jnp.float32),
+        jnp.asarray(1), jnp.asarray(ids), jnp.asarray(src),
+        jnp.asarray(prompt_len), jnp.asarray(min_len), jnp.asarray(max_len),
+    )
+    row, last = llm_mod.prefill_row(
+        params, cfg, jnp.asarray(ids), jnp.asarray(src),
+        jnp.asarray(prompt_len), max_cache, jnp.float32,
+    )
+    staged = llm_mod.slot_insert(
+        llm_mod.slots_init(cfg, 2, max_cache, max_gen, jax.random.key(3),
+                           dtype=jnp.float32),
+        jnp.asarray(1), row, last, jnp.asarray(prompt_len),
+        jnp.asarray(min_len), jnp.asarray(max_len), jnp.asarray(p_bucket),
+    )
+    np.testing.assert_allclose(np.asarray(staged.kv.k), np.asarray(direct.kv.k),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(staged.last_hidden),
+                               np.asarray(direct.last_hidden), atol=1e-6)
+    for field in ("lengths", "finished", "active", "gen_step", "base",
+                  "prompt_len", "min_len", "max_len"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(staged, field)), np.asarray(getattr(direct, field))
+        )
+    # and the merged state decodes identically
+    d1 = llm_mod.slots_decode(params, cfg, direct, 8)
+    d2 = llm_mod.slots_decode(params, cfg, staged, 8)
+    np.testing.assert_array_equal(np.asarray(d1.tokens), np.asarray(d2.tokens))
+
+
+def test_engine_stages_while_slots_busy(model):
+    """Requests are prefill-staged ahead of slot availability: with 1 slot
+    and 3 submissions, staging fills while the first request decodes."""
+    engine = TTSEngine(model, n_slots=1, chunk_steps=4, max_cache=256, max_gen=64)
+    try:
+        import time
+
+        handles = [engine.submit(_prompt(20 + i)) for i in range(3)]
+        saw_staged = False
+        t0 = time.time()
+        while time.time() - t0 < 60 and not saw_staged:
+            if len(engine._staged) >= 1 and any(
+                r is not None for r in engine._slots
+            ):
+                saw_staged = True
+            time.sleep(0.01)
+        for h in handles:
+            total = np.concatenate(list(h))
+            assert len(total) > 0 and np.isfinite(total).all()
+        assert saw_staged, "no request was staged while a slot was busy"
+    finally:
+        engine.close()
