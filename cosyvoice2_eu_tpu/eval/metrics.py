@@ -360,17 +360,35 @@ def wer(ref_text: str, hyp_text: str) -> float:
     return float(d[-1, -1] / max(len(r), 1))
 
 
-def normalize_text_for_wer(text: str, lang: str = "fr") -> str:
-    """Language-aware normalization incl. diacritics folding
-    (metrics_computer.py:104-146)."""
+def normalize_text_for_wer(text: str, lang: str = "fr",
+                           strip_accents: bool = True) -> str:
+    """Language-aware ASR-style normalization matching the reference's
+    _normalize_for_wer (metrics_computer.py:104-146): NFKC+lower, quote/dash
+    unification, DE ss-folding / FR ligature folding, thousands-separator
+    removal + decimal comma->dot, hyphen/apostrophe as separators, diacritics
+    strip, punctuation drop, whitespace collapse."""
     import re
     import unicodedata
 
-    text = text.lower()
-    text = unicodedata.normalize("NFD", text)
-    text = "".join(c for c in text if unicodedata.category(c) != "Mn")
-    text = re.sub(r"[^\w\s']", " ", text)
-    return re.sub(r"\s+", " ", text).strip()
+    s = unicodedata.normalize("NFKC", text).lower().strip()
+    s = (s.replace("’", "'").replace("‘", "'").replace("‚", "'")
+         .replace("“", '"').replace("”", '"').replace("„", '"')
+         .replace("–", "-").replace("—", "-").replace("−", "-"))
+    ll = (lang or "").lower()
+    if ll.startswith("de"):
+        s = s.replace("ß", "ss")
+    if ll.startswith(("fr", "fra", "fre")):
+        s = s.replace("œ", "oe").replace("æ", "ae")
+    # thousands separators (dot, NBSP/NNBSP/thin/hair space, space) then
+    # decimal comma -> dot, so 1 234,5 / 1.234,5 both become 1234.5
+    s = re.sub(r"(?<=\d)[.\u00A0\u202F\u2009\u200A\s](?=\d{3}\b)", "", s)
+    s = re.sub(r"(\d),(\d)", r"\1.\2", s)
+    s = re.sub(r"[-']", " ", s)
+    if strip_accents:
+        s = unicodedata.normalize("NFD", s)
+        s = "".join(c for c in s if unicodedata.category(c) != "Mn")
+    s = re.sub(r"[^\w\s]", " ", s, flags=re.UNICODE)
+    return re.sub(r"\s+", " ", s).strip()
 
 
 def test_metrics() -> dict:

@@ -243,3 +243,15 @@ def test_cheaptrick_envelope_tracks_colored_noise():
     diff_filter = M.mcd(a1, b, sr)
     assert 0.0 < same_filter < 8.0
     assert diff_filter > same_filter
+
+
+def test_wer_normalizer_matches_reference_rules():
+    """Reference _normalize_for_wer semantics (metrics_computer.py:104-146):
+    thousands separators removed, decimal comma folded, ligature/ss maps,
+    hyphen/apostrophe as separators, diacritics stripped."""
+    n = M.normalize_text_for_wer
+    assert n("C'était 1 234,5 € — vraiment !", "fr") == "c etait 1234 5 vraiment"
+    assert n("Die Straße Nr. 1.000", "de") == "die strasse nr 1000"
+    assert n("œuvre cœur", "fr") == "oeuvre coeur"
+    assert n("1 234,5 mètres", "fr") == "1234 5 metres"
+    assert n("Vingt-trois, s'il vous plaît", "fr") == "vingt trois s il vous plait"
