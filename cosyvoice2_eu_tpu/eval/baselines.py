@@ -51,8 +51,13 @@ class FakeEngine:
 
     def synthesize(self, text: str, prompt_wav: Optional[str] = None
                    ) -> Tuple[np.ndarray, int]:
+        import hashlib
+
         n = max(int(len(text) * self.seconds_per_char * self.sample_rate), 1)
-        seed = (hash((text, prompt_wav)) & 0x7FFFFFFF)
+        # sha256, not hash(): Python string hashing is salted per process,
+        # which would break the documented cross-run determinism
+        digest = hashlib.sha256(f"{text}\x00{prompt_wav}".encode()).digest()
+        seed = int.from_bytes(digest[:4], "little")
         rng = np.random.default_rng(seed)
         x = rng.normal(0, 0.1, n).astype(np.float32)
         # one-pole lowpass for a speech-ish spectrum
@@ -176,6 +181,12 @@ class OpenVoiceEngine:
                 "OpenVoice package not in this image; use engine='fake' for "
                 "architecture tests"
             ) from e
+        # fail at construction, not per-sample: the base-TTS + tone-color
+        # conversion pipeline wrapper is not implemented yet
+        raise NotImplementedError(
+            "OpenVoice wrapper pipeline (base TTS + tone-color converter) "
+            "is not implemented; use xtts_v2/elevenlabs/fish_speech or 'fake'"
+        )
 
 
 ENGINES: Dict[str, Callable] = {

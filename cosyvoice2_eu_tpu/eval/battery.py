@@ -528,8 +528,17 @@ def generate_battery(results_dir: str, out_dir: Optional[str] = None,
         b1 = b1_baselines_vs_best(rows, data["baselines"], lang, out_dir,
                                   anchor=anchor)
         appendix_efficiency(rows, lang, out_dir)
+        # compact table rows: Ours at its per-language anchor + the systems
+        ours_row = {"system": "Ours (anchor)"}
+        if anchor.get("winner") is not None:
+            at = _sub(rows, model=anchor["winner"], hours=anchor["best_hour"])
+            for m in TABLE_METRICS:
+                mean, _, n = agg(at, m)
+                if n:
+                    ours_row[m] = mean
         per_lang_b1[lang] = {
-            "systems_rows": _baseline_rows_or_published(data["baselines"], lang),
+            "systems_rows": [ours_row]
+            + _baseline_rows_or_published(data["baselines"], lang),
             "anchor": anchor,
         }
         manifest[lang] = {"anchor": anchor, "b1": b1}

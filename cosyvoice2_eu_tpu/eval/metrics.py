@@ -24,17 +24,33 @@ import numpy as np
 # alignment
 # ---------------------------------------------------------------------------
 
-def dtw_path(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def _pairwise_l2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(T1, d), (T2, d) -> float32 (T1, T2) Euclidean distances via one GEMM
+    (no (T1, T2, d) broadcast: long utterances would blow memory)."""
+    a = np.ascontiguousarray(a, np.float32)
+    b = np.ascontiguousarray(b, np.float32)
+    d2 = (a * a).sum(1)[:, None] + (b * b).sum(1)[None, :] - 2.0 * (a @ b.T)
+    return np.sqrt(np.maximum(d2, 0.0))
+
+
+def dtw_path(cost: np.ndarray, band: int | None = None
+             ) -> tuple[np.ndarray, np.ndarray]:
     """Classic DTW over a (T1, T2) local-cost matrix; returns aligned index
-    arrays."""
+    arrays.  `band` restricts to a slope-normalized Sakoe-Chiba band so long
+    sequences stay tractable (exact full DTW when None)."""
     t1, t2 = cost.shape
     acc = np.full((t1 + 1, t2 + 1), np.inf)
     acc[0, 0] = 0.0
     for i in range(1, t1 + 1):
-        j0 = 1
+        if band is None:
+            lo, hi = 1, t2
+        else:
+            center = i * t2 / t1
+            lo = max(1, int(center - band))
+            hi = min(t2, int(center + band))
         prev = acc[i - 1]
         cur = acc[i]
-        for j in range(j0, t2 + 1):
+        for j in range(lo, hi + 1):
             cur[j] = cost[i - 1, j - 1] + min(prev[j], cur[j - 1], prev[j - 1])
     # backtrack
     i, j = t1, t2
@@ -98,10 +114,8 @@ def mcd_rel(ref_wav: np.ndarray, gen_wav: np.ndarray, sr: int = 24000) -> float:
     c_gen = _mel_cepstrum(gen_wav, sr)
     if len(c_ref) < 2 or len(c_gen) < 2:
         return float("nan")
-    cost = np.sqrt(
-        np.sum((c_ref[:, None, :] - c_gen[None, :, :]) ** 2, axis=-1)
-    )
-    pi, pj = dtw_path(cost)
+    cost = _pairwise_l2(c_ref, c_gen)
+    pi, pj = dtw_path(cost, band=_dtw_band(len(c_ref), len(c_gen)))
     diff = c_ref[pi] - c_gen[pj]
     k = 10.0 / np.log(10.0) * np.sqrt(2.0)
     return float(k * np.mean(np.sqrt(np.sum(diff**2, axis=-1))))
@@ -249,12 +263,28 @@ def _resample_to(wav: np.ndarray, sr: int, target: int) -> np.ndarray:
     return resample_poly(np.asarray(wav, np.float64), target // g, sr // g)
 
 
+def _dtw_band(t1: int, t2: int) -> int | None:
+    """Full DTW for short pairs; 10%-of-length Sakoe-Chiba band beyond
+    ~1500 frames so long utterances stay O(T*band)."""
+    n = max(t1, t2)
+    if n <= 1500:
+        return None
+    return max(96, n // 10)
+
+
+_MCEP_MAX_FRAMES = 2400  # ~12 s at the 5 ms hop; longer audio widens the hop
+
+
 def mcep_sequence(wav: np.ndarray, sr: int, order: int = 12) -> np.ndarray:
     """(T, order+1) WORLD-style mel-cepstrum sequence at a 5 ms hop
-    (the reference's _extract_mcep_sequence, metrics_computer.py:238-257)."""
+    (the reference's _extract_mcep_sequence, metrics_computer.py:238-257);
+    the hop widens proportionally past ~12 s so frame count (and the per-
+    frame python CheapTrick loop + DTW) stays bounded on long utterances."""
     from cosyvoice2_eu_tpu.train.pitch import estimate_f0
 
     hop = int(sr * 0.005)
+    if len(wav) // hop > _MCEP_MAX_FRAMES:
+        hop = int(np.ceil(len(wav) / _MCEP_MAX_FRAMES))
     frame_len = min(2048, 2 ** int(np.ceil(np.log2(sr // 25))))
     f0 = estimate_f0(
         np.asarray(wav, np.float32), sr, hop=hop, frame_len=frame_len
@@ -277,8 +307,8 @@ def mcd(ref_wav: np.ndarray, gen_wav: np.ndarray, sr: int = 24000,
     c_gen = mcep_sequence(g, target, order)[:, 1:]
     if len(c_ref) < 2 or len(c_gen) < 2:
         return float("nan")
-    cost = np.sqrt(np.sum((c_ref[:, None, :] - c_gen[None, :, :]) ** 2, axis=-1))
-    pi, pj = dtw_path(cost)
+    cost = _pairwise_l2(c_ref, c_gen)
+    pi, pj = dtw_path(cost, band=_dtw_band(len(c_ref), len(c_gen)))
     diff = c_ref[pi] - c_gen[pj]
     k = 10.0 / np.log(10.0) * np.sqrt(2.0)
     return float(k * np.mean(np.sqrt(np.sum(diff**2, axis=-1))))

@@ -69,9 +69,13 @@ _SEEDS = {
 _PROFILE_SIZE = 400
 _CLEAN = re.compile(r"[^a-zà-öø-ÿœßäöü'\s]+")
 
-# orthography that pins a language outright
+# orthography that pins a language outright — ONLY characters/contractions
+# that essentially never appear in the other two languages (ß is German-only;
+# ç/œ and the clitic contractions are French-only).  Circumflex/diaeresis
+# vowels are NOT here: loanwords (Crêpes, naïve) occur freely in DE/EN text
+# and must not pre-empt the trigram evidence.
 _ONLY_DE = re.compile(r"ß")
-_ONLY_FR = re.compile(r"[çœêâîôûëïÿ]|qu'|c'est|j'ai|d'un")
+_ONLY_FR = re.compile(r"[çœ]|c'est|j'ai|qu'il|qu'elle|n'est")
 
 
 def _trigrams(text: str) -> Counter:

@@ -58,6 +58,14 @@ def simplify_graph(model: dict) -> dict:
     Name-rewrite only — never changes arithmetic; both the structural
     converter and the numpy executor accept the simplified graph.
     """
+    # names whose value is actually read downstream (consumers + graph outs):
+    # a Dropout is only value-preserving on output[0]; if its mask output is
+    # consumed, splicing would hand the consumer activations instead of a
+    # bool mask, so such nodes are kept as-is.
+    used: set = set(model["outputs"])
+    for n in model["nodes"]:
+        used.update(i for i in n["input"] if i)
+
     alias: dict[str, str] = {}
     kept = []
     for n in model["nodes"]:
@@ -65,13 +73,14 @@ def simplify_graph(model: dict) -> dict:
         transparent = op in _TRANSPARENT_OPS or (
             op == "Cast" and int(n["attrs"].get("to", 0)) in _FLOAT_ONNX_TYPES
         )
+        if transparent and any(o in used for o in n["output"][1:]):
+            transparent = False  # secondary output (e.g. Dropout mask) is read
         # resolve already-aliased inputs first
         inputs = [alias.get(i, i) for i in n["input"]]
         if transparent and inputs and n["output"]:
             src = inputs[0]
-            for out in n["output"]:
-                if out:
-                    alias[out] = src
+            if n["output"][0]:
+                alias[n["output"][0]] = src
             continue
         kept.append({**n, "input": inputs})
     outputs = [alias.get(o, o) for o in model["outputs"]]

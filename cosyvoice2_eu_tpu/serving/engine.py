@@ -205,7 +205,7 @@ class TTSEngine:
             lambda params, st: llm_mod.slots_decode(params, cfgl, st, chunk_steps),
             donate_argnums=(1,),
         )
-        self._prefill_cache: dict = {}
+        self._prefill_jit = None
         self._insert_jit = None
         from collections import deque
 
@@ -238,20 +238,22 @@ class TTSEngine:
                 self._thread = threading.Thread(target=self._loop, daemon=True)
                 self._thread.start()
 
-    def _prefill_fn(self, p_bucket: int):
+    @property
+    def _prefill_fn(self):
         # PURE prefill (no SlotState argument): dispatched the moment a
         # request arrives, overlapping with ongoing slot decode; the result
         # merges via the tiny _insert op at a chunk boundary, so admission
         # no longer stalls live streams behind a full prompt forward pass.
-        if p_bucket not in self._prefill_cache:
+        # One jit wrapper; jax re-specializes per prompt-bucket shape.
+        if self._prefill_jit is None:
             dtype = self.state.kv.k.dtype
             max_cache = self.state.kv.k.shape[3]
-            self._prefill_cache[p_bucket] = jax.jit(
+            self._prefill_jit = jax.jit(
                 lambda params, ids, src, pl: llm_mod.prefill_row(
                     params, self.cfg.llm, ids, src, pl, max_cache, dtype,
                 ),
             )
-        return self._prefill_cache[p_bucket]
+        return self._prefill_jit
 
     @property
     def _insert_fn(self):
@@ -267,7 +269,7 @@ class TTSEngine:
         ids, src, prompt_len, p_bucket, min_len, max_len = model._pack_lm_prompt(req.prompt)
         if p_bucket >= self.state.kv.k.shape[3]:
             raise ValueError(f"prompt bucket {p_bucket} exceeds engine cache")
-        row, last = self._prefill_fn(p_bucket)(
+        row, last = self._prefill_fn(
             model.params["llm"], jnp.asarray(ids), jnp.asarray(src),
             jnp.asarray(prompt_len, jnp.int32),
         )
@@ -300,13 +302,6 @@ class TTSEngine:
                 req = self._staged.popleft()[0]
                 req.failed = msg
                 req.out.put(None)
-            while True:
-                try:
-                    req = self._pending.get_nowait()
-                except queue.Empty:
-                    break
-                req.failed = msg
-                req.out.put(None)
             # _decode donates the state; if it died mid-call the old buffer
             # may be deleted — rebuild so a restarted loop starts clean.
             try:
@@ -318,8 +313,20 @@ class TTSEngine:
                 )
             except Exception:
                 pass  # backend itself is gone; restart will surface it
+            # Order matters: reset the running flag BEFORE the final pending
+            # drain, both under the lock submit()'s _ensure_running takes.
+            # A request enqueued before the drain is failed here; one enqueued
+            # after sees _running=False and restarts the loop — no request can
+            # be stranded unstarted with a dead loop.
             with self._lock:
-                self._running = False  # a later submit() restarts the thread
+                self._running = False
+                while True:
+                    try:
+                        req = self._pending.get_nowait()
+                    except queue.Empty:
+                        break
+                    req.failed = msg
+                    req.out.put(None)
 
     def _loop_once(self):
         # stage pending requests (pure prefill dispatch + session build) the

@@ -153,10 +153,16 @@ class Executor:
         self.on_step: Callable[[int], None] = lambda step: None  # watchdog hook
         os.makedirs(model_dir, exist_ok=True)
 
-    def cross_validate(self, state, cv_batches: Iterable[dict]) -> float:
-        """Utterance-weighted CV loss (executor.py:146-176)."""
+    def cross_validate(self, state, cv_batches) -> float:
+        """Utterance-weighted CV loss (executor.py:146-176).
+
+        cv_batches may be a re-iterable, or a zero-arg factory returning a
+        fresh iterator — REQUIRED when CV runs more than once per epoch
+        (save_per_step + epoch end), since a bare generator would be
+        exhausted after the first pass and silently report cv_loss=0."""
+        batches = cv_batches() if callable(cv_batches) else cv_batches
         total, weight = 0.0, 0
-        for batch in cv_batches:
+        for batch in batches:
             metrics = self.cv_fn(state.params, batch)
             n = int(next(iter(batch.values())).shape[0])
             total += float(metrics["loss"]) * n

@@ -347,7 +347,9 @@ def main(argv=None):
                 state = executor.train_epoch(
                     state,
                     join_uneven_inputs(train_iter(epoch), tag=f"epoch{epoch}"),
-                    join_uneven_inputs(cv_iter(), tag=f"cv{epoch}"),
+                    # factory: CV runs at every save_per_step AND at epoch
+                    # end, each pass needing a fresh iterator
+                    lambda e=epoch: join_uneven_inputs(cv_iter(), tag=f"cv{e}"),
                 )
 
 
