@@ -554,6 +554,34 @@ def generate_battery(results_dir: str, out_dir: Optional[str] = None,
     return manifest
 
 
+def export_charts_to_docs(out_dir: str, docs_charts_dir: str) -> List[str]:
+    """Copy the battery's Chart.js JSONs into the docs site's
+    generated_charts/ dir and merge them into its flat manifest.json
+    (docs/index.html fetch contract)."""
+    import shutil
+
+    src = os.path.join(out_dir, "charts")
+    if not os.path.isdir(src):
+        return []
+    os.makedirs(docs_charts_dir, exist_ok=True)
+    manifest_path = os.path.join(docs_charts_dir, "manifest.json")
+    names: List[str] = []
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            names = json.load(f)
+    copied = []
+    for f_name in sorted(os.listdir(src)):
+        if f_name.endswith(".json"):
+            shutil.copy2(os.path.join(src, f_name),
+                         os.path.join(docs_charts_dir, f_name))
+            copied.append(f_name)
+            if f_name not in names:
+                names.append(f_name)
+    with open(manifest_path, "w") as f:
+        json.dump(names, f, indent=2)
+    return copied
+
+
 def _detect_languages(results_dir: str) -> List[str]:
     langs = []
     if os.path.isdir(results_dir):
@@ -569,9 +597,15 @@ def main(argv=None):
     p.add_argument("--results-dir", required=True)
     p.add_argument("--out-dir", default=None)
     p.add_argument("--languages", default=None, help="comma list, e.g. fr,de")
+    p.add_argument("--docs-charts-dir", default=None,
+                   help="also export charts into the docs site "
+                        "(docs/generated_charts)")
     args = p.parse_args(argv)
     langs = args.languages.split(",") if args.languages else None
     manifest = generate_battery(args.results_dir, args.out_dir, langs)
+    if args.docs_charts_dir:
+        copied = export_charts_to_docs(manifest["out_dir"], args.docs_charts_dir)
+        manifest["docs_charts"] = copied
     print(json.dumps({k: v for k, v in manifest.items() if k != "written"},
                      indent=2))
     print(f"{len(manifest['written'])} artifacts in {manifest['out_dir']}")

@@ -173,3 +173,18 @@ def test_gated_engines_raise_cleanly():
     finally:
         if old is not None:
             os.environ["ELEVENLABS_API_KEY"] = old
+
+
+def test_export_charts_to_docs(results_dir, tmp_path):
+    manifest = B.generate_battery(results_dir)
+    docs = str(tmp_path / "generated_charts")
+    copied = B.export_charts_to_docs(manifest["out_dir"], docs)
+    assert copied and all(c.endswith(".json") for c in copied)
+    with open(os.path.join(docs, "manifest.json")) as f:
+        names = json.load(f)
+    assert set(copied) <= set(names)
+    # idempotent merge
+    copied2 = B.export_charts_to_docs(manifest["out_dir"], docs)
+    with open(os.path.join(docs, "manifest.json")) as f:
+        names2 = json.load(f)
+    assert names2 == names
