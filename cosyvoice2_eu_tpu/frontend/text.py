@@ -39,7 +39,10 @@ def detect_language(text: str) -> str:
     analog, frontend.py:297) decide; the keyword/diacritic heuristic below
     is the tie-break for very short inputs where trigram evidence is thin."""
     from cosyvoice2_eu_tpu.frontend.lid import detect_language as lid_detect
+    from cosyvoice2_eu_tpu.frontend.zh import contains_chinese
 
+    if contains_chinese(text):  # reference short-circuit (frontend.py:299)
+        return "zh"
     fr_score = (2 if _FRENCH_CHARS.search(text) else 0) + len(_FRENCH_WORDS.findall(text))
     de_score = (2 if _GERMAN_CHARS.search(text) else 0) + len(_GERMAN_WORDS.findall(text))
     if len(text.split()) <= 3:  # too short for stable trigram statistics
@@ -133,7 +136,14 @@ def normalize_english(text: str) -> str:
     return re.sub(r"\s+", " ", text).strip()
 
 
-_NORMALIZERS = {"fr": normalize_french, "de": normalize_german, "en": normalize_english}
+def normalize_chinese(text: str) -> str:
+    from cosyvoice2_eu_tpu.frontend.zh import normalize_chinese as _zh
+
+    return _zh(text)
+
+
+_NORMALIZERS = {"fr": normalize_french, "de": normalize_german,
+                "en": normalize_english, "zh": normalize_chinese}
 
 _SENT_BOUNDARY = re.compile(r"(?<=[.!?;:])\s+")
 _ONLY_PUNCT = re.compile(r"^[\s.,!?;:'\"«»()\-–—…]*$")

@@ -133,3 +133,30 @@ def test_trigram_lid_orthographic_shortcuts():
     assert detect_language("Straße") == "de"  # ß pins German
     assert detect_language("ça va") == "fr"   # ç pins French
     assert detect_language("xq zz") == "en"   # too little evidence -> default
+
+
+def test_zh_detection_and_normalization():
+    """zh short-circuit (reference frontend.py:299) + native basic zh TN
+    (the reference without ttsfrd/WeTextProcessing returns text unchanged;
+    frontend/zh.py verbalizes numbers and maps punctuation)."""
+    from cosyvoice2_eu_tpu.frontend.text import detect_language
+    from cosyvoice2_eu_tpu.frontend.zh import normalize_chinese, number_to_words_zh
+
+    assert detect_language("你好，世界") == "zh"
+    assert detect_language("这是 2024 年的测试") == "zh"
+
+    assert number_to_words_zh(0) == "零"
+    assert number_to_words_zh(10) == "十"
+    assert number_to_words_zh(14) == "十四"
+    assert number_to_words_zh(25) == "二十五"
+    assert number_to_words_zh(105) == "一百零五"
+    assert number_to_words_zh(1001) == "一千零一"
+    assert number_to_words_zh(10000) == "一万"
+    assert number_to_words_zh(12345) == "一万二千三百四十五"
+
+    s = normalize_chinese("今年是2024年，增长25%，价格3.5元.")
+    assert "二零二四年" in s
+    assert "百分之二十五" in s
+    assert "三点五" in s
+    assert s.endswith("。")
+    assert not any(c.isdigit() for c in s)
