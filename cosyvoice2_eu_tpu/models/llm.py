@@ -398,14 +398,19 @@ def lm_inference_bistream(
 
     mt, ms = cfg.mix_ratio
 
-    extend = jax.jit(
-        lambda st, ids, src, n: bs_extend(params, cfg, st, ids, src, n)
+    # params are ARGUMENTS, never closures: closed-over params inline as HLO
+    # constants (gigabytes in the compile request -> the remote compile
+    # service drops the connection, minutes of lowering)
+    extend_j = jax.jit(
+        lambda pp, st, ids, src, n: bs_extend(pp, cfg, st, ids, src, n)
     )
-    decode = jax.jit(
-        lambda st, nfi, allow, cap: bs_decode(
-            params, cfg, st, chunk_capacity, nfi, allow, cap
+    decode_j = jax.jit(
+        lambda pp, st, nfi, allow, cap: bs_decode(
+            pp, cfg, st, chunk_capacity, nfi, allow, cap
         )
     )
+    extend = lambda st, ids, src, n: extend_j(params, st, ids, src, n)
+    decode = lambda st, nfi, allow, cap: decode_j(params, st, nfi, allow, cap)
 
     def seg(tokens_src):  # list of (id, src) -> padded arrays
         n = len(tokens_src)

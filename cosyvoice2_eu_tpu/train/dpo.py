@@ -64,12 +64,17 @@ def dpo_loss_fn(params, ref_params, cfg: LMConfig, batch, beta: float = 0.01):
 
 
 def make_dpo_train_step(cfg: LMConfig, train_cfg: TrainConfig, tx, ref_params, beta=0.01):
-    def step(state: TrainState, batch):
+    # ref_params are a traced ARGUMENT, not a closure: closed-over params
+    # inline as HLO constants (gigabytes in the compile request at full size).
+    # They must NOT alias state.params (donated) — pass jnp.copy'd buffers,
+    # as the train CLI does.
+    def step(state: TrainState, batch, ref):
         (loss, metrics), grads = jax.value_and_grad(
-            lambda p: dpo_loss_fn(p, ref_params, cfg, batch, beta), has_aux=True
+            lambda p: dpo_loss_fn(p, ref, cfg, batch, beta), has_aux=True
         )(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), metrics
 
-    return jax.jit(step, donate_argnums=(0,))
+    jitted = jax.jit(step, donate_argnums=(0,))
+    return lambda state, batch: jitted(state, batch, ref_params)

@@ -73,9 +73,10 @@ def make_lora_lm_train_step(cfg: LMConfig, train_cfg, tx, base_params, alpha: fl
 
     from cosyvoice2_eu_tpu.parallel.train_step import TrainState, lm_loss_fn
 
-    def step(state: TrainState, batch):
+    # base_params are a traced ARGUMENT, not a closure (HLO-constant blowup)
+    def step(state: TrainState, batch, base):
         def loss_fn(lora):
-            params = apply_lora(base_params, lora, alpha)
+            params = apply_lora(base, lora, alpha)
             return lm_loss_fn(params, cfg, batch, train_cfg)
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -83,4 +84,5 @@ def make_lora_lm_train_step(cfg: LMConfig, train_cfg, tx, base_params, alpha: fl
         lora = optax.apply_updates(state.params, updates)
         return TrainState(lora, opt_state, state.step + 1), metrics
 
-    return jax.jit(step, donate_argnums=(0,))
+    jitted = jax.jit(step, donate_argnums=(0,))
+    return lambda state, batch: jitted(state, batch, base_params)

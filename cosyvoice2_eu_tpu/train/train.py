@@ -229,9 +229,11 @@ def main(argv=None):
             ref_params = jax.tree.map(jnp.copy, params)  # frozen reference
             step_fn = make_dpo_train_step(cfg.llm, train_cfg, tx, ref_params,
                                           beta=args.dpo_beta)
-            cv_fn = jax.jit(
-                lambda p, b: dpo_loss_fn(p, ref_params, cfg.llm, b, args.dpo_beta)[1]
+            # ref params as a traced arg (never a jit closure: HLO-constant blowup)
+            cv_jit = jax.jit(
+                lambda p, ref, b: dpo_loss_fn(p, ref, cfg.llm, b, args.dpo_beta)[1]
             )
+            cv_fn = lambda p, b: cv_jit(p, ref_params, b)
         elif args.lora:
             from cosyvoice2_eu_tpu.train.lora import (
                 apply_lora,
@@ -244,11 +246,12 @@ def main(argv=None):
                                rank=args.lora_rank)
             step_fn = make_lora_lm_train_step(cfg.llm, train_cfg, tx, base_params,
                                               alpha=args.lora_alpha)
-            cv_fn = jax.jit(
-                lambda lo, b: lm_loss_fn(
-                    apply_lora(base_params, lo, args.lora_alpha), cfg.llm, b, train_cfg
+            cv_jit = jax.jit(
+                lambda lo, base, b: lm_loss_fn(
+                    apply_lora(base, lo, args.lora_alpha), cfg.llm, b, train_cfg
                 )[1]
             )
+            cv_fn = lambda lo, b: cv_jit(lo, base_params, b)
         else:
             step_fn = make_lm_train_step(cfg.llm, train_cfg, tx)
             cv_fn = jax.jit(lambda p, b: lm_loss_fn(p, cfg.llm, b, train_cfg)[1])

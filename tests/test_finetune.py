@@ -59,7 +59,10 @@ def test_lora_identity_at_init_and_updates():
 
 def test_dpo_step():
     params = init_lm(jax.random.key(0), CFG)
-    ref = jax.tree.map(lambda a: a, params)
+    # independent buffers: ref is a traced argument of the donated step, so
+    # aliasing params would be a donation conflict (as in the real train CLI,
+    # which also copies)
+    ref = jax.tree.map(jnp.copy, params)
     rng = np.random.default_rng(1)
     batch = _batch(rng, reject=True)
     loss, metrics = dpo_loss_fn(params, ref, CFG, batch)
