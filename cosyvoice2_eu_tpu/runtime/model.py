@@ -522,17 +522,30 @@ class TTSModel:
         hop, la = self.token_hop_len, self.pre_lookahead_len
         n_prompt = len(prompt.flow_prompt_speech_tokens)
         prompt_pad = int(np.ceil(n_prompt / hop) * hop - n_prompt)
+        # long-generation windowing: the recompute span (prompt + generated)
+        # must fit the largest flow bucket, so once enough audio is vocoded,
+        # drop the oldest generated tokens and keep prompt + a recent window
+        # as context (same semantics as the cached path's rollover)
+        cap = FLOW_TOKEN_BUCKETS[-1]
+        window = max(hop, min(self.stream_rollover_window,
+                              cap - n_prompt - 2 * (hop + la)))
+        base = 0  # generated tokens dropped from the recompute context
         token_offset = 0
         buf: list[int] = []
         for t in token_gen:
             buf.append(int(t))
             this_hop = hop + prompt_pad if token_offset == 0 else hop
+            rel = token_offset - base
+            if n_prompt + rel + this_hop + la > cap and rel > window:
+                base = token_offset - window
+                rel = window
             if len(buf) - token_offset >= this_hop + la:
-                chunk = np.asarray(buf[: token_offset + this_hop + la], np.int32)
-                yield self._token2wav(chunk, prompt, token_offset, session, True, False)
+                chunk = np.asarray(buf[base : token_offset + this_hop + la], np.int32)
+                yield self._token2wav(chunk, prompt, rel, session, True, False)
                 token_offset += this_hop
         yield self._token2wav(
-            np.asarray(buf, np.int32), prompt, token_offset, session, False, True, speed
+            np.asarray(buf[base:], np.int32), prompt, token_offset - base,
+            session, False, True, speed
         )
 
     def tts_stream_text(

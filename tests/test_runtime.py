@@ -199,3 +199,20 @@ def test_stream_rollover_long_utterance():
     n_common = min(len(chunks_roll), 3)
     for a, b in zip(chunks_roll[:n_common], chunks_flat[:n_common]):
         np.testing.assert_array_equal(a, b)
+
+
+def test_wav_from_token_gen_windows_past_flow_bucket(model, monkeypatch):
+    """The recompute streaming path (vc / stream_text) must window its
+    context once prompt+generated would exceed the largest flow bucket,
+    instead of raising bucket-overflow mid-stream."""
+    import cosyvoice2_eu_tpu.runtime.model as rtm
+
+    monkeypatch.setattr(rtm, "FLOW_TOKEN_BUCKETS", (64, 128))
+    prompt = _prompt()
+    rng = np.random.default_rng(9)
+    tokens = rng.integers(0, CFG.flow.vocab_size, 150).astype(np.int32)
+    chunks = list(model._wav_from_token_gen(iter(tokens), prompt, stream=True))
+    total = np.concatenate(chunks)
+    scale = CFG.hift.upsample_scale * CFG.flow.token_mel_ratio
+    assert len(total) == 150 * scale  # every token vocoded exactly once
+    assert np.isfinite(total).all()
