@@ -119,7 +119,7 @@ def stage_roofline(cfg, params, out: dict):
     tiny = os.environ.get("COSY_BENCH_TINY") == "1"
 
     # ---- LM: prefill + steady-state decode ----
-    P, GEN, STEPS = (32, 64, 8) if tiny else (256, 640, 100)
+    P, GEN, STEPS = (32, 64, 8) if tiny else (256, 640, 300)
     ids = jnp.asarray(rng.integers(0, 1000, (1, P)), jnp.int32)
     src = jnp.asarray(rng.integers(0, 3, (1, P)), jnp.int32)
     plen = jnp.asarray([12 if tiny else 197])
@@ -244,7 +244,8 @@ def engine_bench(api, cfg, out: dict):
             out[f"engine_audio_{tag}_s"] = round(audio, 1)
 
         run_concurrent(4, "4")
-        run_concurrent(8, "8q4")
+        run_concurrent(4, "4")    # second run = warm numbers (first pays
+        run_concurrent(8, "8q4")  # residual per-shape compiles/setup)
     finally:
         engine.close()
     return out
@@ -274,6 +275,21 @@ def stream_text_bench(api, cfg, out: dict):
     out["stream_text_rtf"] = round(wall / max(total, 1e-9), 4)
     out["stream_text_audio_s"] = round(total, 2)
     return out
+
+
+WEIGHTS_PATH = "/tmp/cosy_bench_weights.pkl"
+
+
+def _save_weights(params, path: str):
+    """Persist the (post-cast) param pytree as host numpy (incl. ml_dtypes
+    bf16) so phase cold loads weights from disk like a real install."""
+    import pickle
+
+    import jax
+
+    host = jax.tree.map(lambda a: np.asarray(a), params)
+    with open(path, "wb") as f:
+        pickle.dump(host, f, protocol=4)
 
 
 def phase_main(result_path: str):
@@ -373,6 +389,7 @@ def phase_main(result_path: str):
     stage_roofline(cfg, model.params, out)
     stream_text_bench(model_api, cfg, out)
     engine_bench(model_api, cfg, out)
+    _save_weights(model.params, WEIGHTS_PATH)  # for the cold phase
 
     with open(result_path, "w") as f:
         json.dump(out, f)
@@ -380,7 +397,11 @@ def phase_main(result_path: str):
 
 def phase_cold(result_path: str):
     """Fresh process + fresh XLA compile cache; AOT executable store hits.
-    Simulates install-on-new-machine first audio (VERDICT r2 weak #1)."""
+    Simulates install-on-new-machine first audio (VERDICT r2 weak #1):
+    weights come from disk (saved by phase main) like a real install —
+    random init would pay ~150 tiny op-compiles real users never see."""
+    import pickle
+
     import jax
 
     if os.environ.get("COSY_BENCH_TINY") == "1":
@@ -392,7 +413,14 @@ def phase_cold(result_path: str):
     import cosyvoice2_eu_tpu as cosy
 
     cfg = _bench_config(cosy)
-    model_api = cosy.load(model_dir=None, config=cfg, seed=0)
+    weights = None
+    if os.path.exists(WEIGHTS_PATH):
+        with open(WEIGHTS_PATH, "rb") as f:
+            weights = pickle.load(f)
+    model_api = cosy.load(
+        model_dir=None, config=cfg, seed=0, params=weights,
+        compute_dtype="none" if weights is not None else "bfloat16",
+    )
     model = model_api._model
     prompt = make_prompt(cfg, np.random.default_rng(7777))
     gen = model.tts(prompt, stream=True)

@@ -323,6 +323,7 @@ def load(
     seed: int = 0,
     compute_dtype="bfloat16",
     lm_quant: Optional[str] = None,
+    params: Optional[dict] = None,
 ) -> Cosy2EU:
     """Load the model once and reuse for multiple in-memory calls.
 
@@ -335,7 +336,10 @@ def load(
     With config= and no model_dir a random-initialized model is built
     (smoke tests / benchmarking shapes).  backbone selects the LM backbone
     (blanken | hf:<id> | local:<path>), mirroring the reference CLI
-    (standalone_infer cli.py:64).
+    (standalone_infer cli.py:64).  params= injects an already-converted
+    {"llm","flow","hift"} pytree (host numpy or device arrays) directly —
+    the bring-your-own-weights path (e.g. loaded from a pickle/orbax dump);
+    it skips both checkpoint conversion and random init.
     """
     import dataclasses
 
@@ -375,7 +379,12 @@ def load(
         for f in ("tokenizer.json", "vocab.json")
     ):
         bb_tokenizer_dir = None  # backbone checkout without tokenizer files
-    if model_dir is not None:
+    if params is not None:
+        # bring-your-own-weights: device_put is a pure transfer (no per-array
+        # compile dispatch), which keeps fresh-cache cold starts fast
+        params = jax.device_put(params)
+        tokenizer = get_tokenizer(bb_tokenizer_dir or (model_dir or ""))
+    elif model_dir is not None:
         from cosyvoice2_eu_tpu.runtime.checkpoint import (
             convert_flow,
             convert_hift,
