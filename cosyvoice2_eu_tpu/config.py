@@ -115,6 +115,44 @@ class ConformerConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class GenericEncoderConfig:
+    """Generic Transformer/Conformer encoder family (the ESPnet-derived zoo).
+
+    Reference: cosy_repo/cosyvoice/transformer/encoder.py:37 (BaseEncoder
+    knob-for-knob), class registries in utils/class_utils.py:42-76.  The v2
+    EU path uses only the upsample-conformer subset (ConformerConfig); this
+    covers the rest of the family — ASR-grade conformers with CNN module +
+    macaron FFN, whisper-style encoders, KV-cached chunk streaming.
+    """
+
+    input_size: int = 80
+    output_size: int = 256
+    attention_heads: int = 4
+    linear_units: int = 2048
+    num_blocks: int = 6
+    arch: str = "conformer"  # transformer | conformer
+    input_layer: str = "conv2d"  # linear|linear_legacy|embed|conv1d2|conv2d|conv2d6|conv2d8
+    pos_enc_layer_type: str = "rel_pos_espnet"
+    # abs_pos | rel_pos | rel_pos_espnet | no_pos | abs_pos_whisper | embed_learnable_pe
+    selfattention_layer_type: str = "rel_selfattn"  # selfattn | rel_selfattn
+    activation_type: str = "swish"  # relu | swish | gelu
+    normalize_before: bool = True
+    static_chunk_size: int = 0
+    use_dynamic_chunk: bool = False
+    use_dynamic_left_chunk: bool = False
+    key_bias: bool = True
+    macaron_style: bool = True  # conformer only
+    use_cnn_module: bool = True  # conformer only
+    cnn_module_kernel: int = 15
+    cnn_module_norm: str = "batch_norm"  # batch_norm | layer_norm
+    causal: bool = False  # causal depthwise conv in the CNN module
+    vocab_size: int = 0  # for input_layer == "embed"
+    max_len: int = 5000  # positional table length
+    gradient_checkpointing: bool = False
+    layer_norm_eps: float = 1e-12
+
+
+@dataclasses.dataclass(frozen=True)
 class EstimatorConfig:
     """Causal U-Net CFM estimator.
 

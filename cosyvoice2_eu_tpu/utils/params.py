@@ -158,6 +158,48 @@ def conv1d(
     return y
 
 
+def init_conv2d(rng, in_ch: int, out_ch: int, k: int, bias: bool = True) -> dict:
+    k_w, k_b = jax.random.split(rng)
+    fan_in = in_ch * k * k
+    p = {"weight": _kaiming_uniform(k_w, (out_ch, in_ch, k, k), fan_in)}
+    if bias:
+        p["bias"] = _kaiming_uniform(k_b, (out_ch,), fan_in)
+    return p
+
+
+def conv2d(p: dict, x: jnp.ndarray, stride: int = 1, padding: int = 0) -> jnp.ndarray:
+    """torch.nn.Conv2d semantics.  x: (B, C_in, H, W) -> (B, C_out, H', W')."""
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["weight"].astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)[None, :, None, None]
+    return y
+
+
+def init_batch_norm(dim: int) -> dict:
+    return {
+        "weight": jnp.ones((dim,)),
+        "bias": jnp.zeros((dim,)),
+        "running_mean": jnp.zeros((dim,)),
+        "running_var": jnp.ones((dim,)),
+    }
+
+
+def batch_norm1d(p: dict, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Inference-mode torch.nn.BatchNorm1d over (B, C, T) using running stats."""
+    mean = p["running_mean"].astype(jnp.float32)[None, :, None]
+    var = p["running_var"].astype(jnp.float32)[None, :, None]
+    xf = x.astype(jnp.float32)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["weight"].astype(jnp.float32)[None, :, None] + p["bias"].astype(jnp.float32)[None, :, None]
+    return y.astype(x.dtype)
+
+
 def causal_conv1d(p: dict, x: jnp.ndarray, dilation: int = 1, groups: int = 1) -> jnp.ndarray:
     """Left-pad (k-1)*dilation zeros then valid conv (reference CausalConv1d,
     cosy_repo/cosyvoice/flow/decoder.py:36)."""
