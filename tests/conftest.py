@@ -19,7 +19,9 @@ import jax  # noqa: E402
 # the axon plugin ignores the env var; the config API reliably forces CPU
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
-# single-core CI box: persist compiled executables across test runs
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cosyvoice2_eu_tpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# NO persistent compilation cache on CPU: XLA:CPU executable AOT
+# (de)serialization is brittle across host CPU-feature profiles — stale
+# entries SIGABRT on read and large fresh entries can SIGSEGV on write
+# (observed in compilation_cache.{get,put}_executable_and_time).  The TPU
+# path keeps its cache + AOT store; CPU tests just recompile.
+jax.config.update("jax_compilation_cache_dir", None)
