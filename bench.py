@@ -277,7 +277,12 @@ def stream_text_bench(api, cfg, out: dict):
     return out
 
 
-WEIGHTS_PATH = "/tmp/cosy_bench_weights.pkl"
+def _weights_path() -> str:
+    """Per-user, per-config-size scratch path: tiny and full runs must not
+    read each other's pytrees, and a shared /tmp must not collide (or feed
+    us another user's pickle)."""
+    size = "tiny" if os.environ.get("COSY_BENCH_TINY") == "1" else "full"
+    return f"/tmp/cosy_bench_weights_{os.getuid()}_{size}.pkl"
 
 
 def _save_weights(params, path: str):
@@ -389,7 +394,7 @@ def phase_main(result_path: str):
     stage_roofline(cfg, model.params, out)
     stream_text_bench(model_api, cfg, out)
     engine_bench(model_api, cfg, out)
-    _save_weights(model.params, WEIGHTS_PATH)  # for the cold phase
+    _save_weights(model.params, _weights_path())  # for the cold phase
 
     with open(result_path, "w") as f:
         json.dump(out, f)
@@ -414,9 +419,21 @@ def phase_cold(result_path: str):
 
     cfg = _bench_config(cosy)
     weights = None
-    if os.path.exists(WEIGHTS_PATH):
-        with open(WEIGHTS_PATH, "rb") as f:
+    try:
+        with open(_weights_path(), "rb") as f:
             weights = pickle.load(f)
+        # sanity: pytree must actually match this config's shapes, else fall
+        # back to random init rather than dying in an opaque jit shape error
+        from cosyvoice2_eu_tpu.models.llm import init_lm
+        import jax as _jax
+
+        want = _jax.eval_shape(lambda: init_lm(_jax.random.key(0), cfg.llm))
+        got_shapes = _jax.tree.map(lambda a: a.shape, weights["llm"])
+        want_shapes = _jax.tree.map(lambda a: a.shape, want)
+        if got_shapes != want_shapes:
+            weights = None
+    except (OSError, pickle.UnpicklingError, KeyError, TypeError, ValueError):
+        weights = None
     model_api = cosy.load(
         model_dir=None, config=cfg, seed=0, params=weights,
         compute_dtype="none" if weights is not None else "bfloat16",

@@ -349,7 +349,8 @@ def load(
     from cosyvoice2_eu_tpu.frontend.tokenizer import get_tokenizer
     from cosyvoice2_eu_tpu.runtime.model import TTSModel
 
-    if model_dir is None and config is None and download is not False:
+    if (model_dir is None and config is None and params is None
+            and download is not False):
         model_dir = _snapshot_download(repo_id, required=download is True)
 
     if model_dir is not None and os.path.isdir(os.path.join(model_dir, "aot_store")):
@@ -361,12 +362,19 @@ def load(
 
     # persistent XLA compile cache: a warm cache cuts the cold-start compile
     # from minutes to seconds across processes (the role TRT/JIT artifacts
-    # play in the reference, cli/model.py:100-116,285-287)
-    if jax.config.jax_compilation_cache_dir is None:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("COSY_COMPILE_CACHE", "/tmp/jax_cache_cosyvoice2_eu_tpu"),
-        )
+    # play in the reference, cli/model.py:100-116,285-287).
+    # COSY_COMPILE_CACHE=none keeps it OFF even when the current value is
+    # None (the CPU test suite relies on this: XLA:CPU executable
+    # (de)serialization is brittle — see tests/conftest.py).  The CPU
+    # backend is also skipped by default: XLA:CPU AOT entries embed host
+    # CPU-feature profiles and mis-load even on the same machine; set
+    # COSY_COMPILE_CACHE explicitly to force it on anyway.
+    cache_dir = os.environ.get("COSY_COMPILE_CACHE", "")
+    if not cache_dir and jax.default_backend() != "cpu":
+        cache_dir = "/tmp/jax_cache_cosyvoice2_eu_tpu"
+    if jax.config.jax_compilation_cache_dir is None and \
+            cache_dir.lower() not in ("none", "off", "0", ""):
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

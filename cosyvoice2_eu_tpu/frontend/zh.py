@@ -18,7 +18,7 @@ _CJK = re.compile(r"[一-鿿㐀-䶿]")
 
 _DIGITS = "零一二三四五六七八九"
 _UNITS_SMALL = ["", "十", "百", "千"]
-_UNITS_BIG = ["", "万", "亿"]
+_UNITS_BIG = ["", "万", "亿", "万亿"]  # 10^4 groups through 10^12
 
 
 def contains_chinese(text: str) -> bool:
@@ -45,25 +45,34 @@ def _four_digits_to_words(n: int) -> str:
 
 
 def number_to_words_zh(n: int) -> str:
-    """Cardinal reading through 亿 (10^8 groups)."""
+    """Cardinal reading through 万亿 (10^12 groups; up to 10^16-1).
+
+    Larger magnitudes fall back to digit-by-digit reading rather than
+    emitting groups with missing units (which would silently misread
+    the number by factors of 10^4)."""
     if n < 0:
         return "负" + number_to_words_zh(-n)
     if n == 0:
         return "零"
+    if n >= 10 ** (4 * len(_UNITS_BIG)):
+        return _digits_to_words(str(n))
     groups = []
     while n > 0:
         groups.append(n % 10000)
         n //= 10000
     out = []
+    pending_zero = False
     for i in range(len(groups) - 1, -1, -1):
         g = groups[i]
         if g == 0:
+            # an entirely-zero group still needs the 零 separator before the
+            # next non-zero group (一亿零一千, not 一亿一千 which reads 1.1亿)
+            pending_zero = bool(out)
             continue
-        words = _four_digits_to_words(g)
-        # a group starting with a zero-padded value needs the separator 零
-        if out and groups[i] < 1000:
+        if out and (pending_zero or g < 1000):
             out.append("零")
-        out.append(words + _UNITS_BIG[i] if i < len(_UNITS_BIG) else words)
+        pending_zero = False
+        out.append(_four_digits_to_words(g) + _UNITS_BIG[i])
     s = "".join(out)
     # 一十X -> 十X (10..19 idiom)
     if s.startswith("一十"):
@@ -88,12 +97,14 @@ def normalize_chinese(text: str) -> str:
     """Basic zh TN: cleanup + number verbalization (the reference's zh path
     with neither ttsfrd nor WeTextProcessing available returns `s` as-is —
     this does strictly more)."""
+    from .text import remove_bracket
+
     s = text.replace("\n", " ").strip()
     # corner marks / brackets (frontend_utils replace_corner_mark/remove_bracket)
     s = s.replace("²", "平方").replace("³", "立方")
-    for ch in ("（", "）", "【", "】", "`", "“", "”", "‘", "’"):
+    s = remove_bracket(s)
+    for ch in ("“", "”", "‘", "’"):
         s = s.replace(ch, "")
-    s = s.replace("——", " ")
     # percent before plain numbers: 25% -> 百分之二十五
     s = re.sub(r"(\d+(?:\.\d+)?)\s*[%％]",
                lambda m: "百分之" + _verbalize(m.group(1)), s)

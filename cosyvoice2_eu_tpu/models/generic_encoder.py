@@ -55,14 +55,8 @@ from cosyvoice2_eu_tpu.utils.params import (
     layer_norm,
 )
 
-_ACTIVATIONS = {
-    "relu": jax.nn.relu,
-    "swish": jax.nn.silu,
-    "gelu": lambda x: jax.nn.gelu(x, approximate=False),  # torch nn.GELU is erf-exact
-    "tanh": jnp.tanh,
-    "selu": jax.nn.selu,
-    "hardtanh": jax.nn.hard_tanh,
-}
+# the shared name->fn registry (registry.py, the class_utils.py analog)
+from cosyvoice2_eu_tpu.registry import ACTIVATIONS as _ACTIVATIONS
 
 # input layers whose right context / subsample rate mirror the reference
 # (subsampling.py: each class sets subsampling_rate / right_context)
@@ -455,6 +449,9 @@ def encoder_layer(p, cfg: GenericEncoderConfig, x, pos_emb, mask, mask_pad,
 # ---------------------------------------------------------------------------
 
 def init_generic_encoder(rng, cfg: GenericEncoderConfig) -> dict:
+    from cosyvoice2_eu_tpu.registry import validate_encoder_names
+
+    validate_encoder_names(cfg)  # bad yaml-style names fail here, loudly
     ks = jax.random.split(rng, cfg.num_blocks + 1)
     return {
         "embed": init_input_layer(ks[0], cfg),
@@ -610,7 +607,13 @@ def generic_encoder_forward_chunk_by_chunk(
     stride = subsampling * decoding_chunk_size
     window = (decoding_chunk_size - 1) * subsampling + context
     num_frames = xs.shape[1]
-    n_left = num_decoding_left_chunks if num_decoding_left_chunks >= 0 else 16
+    n_chunks = max(len(range(0, num_frames - context + 1, stride)), 1)
+    # -1 = unlimited left context (encoder.py:274): size the fixed cache to
+    # hold EVERY previous chunk of this utterance, which reproduces the
+    # reference's dynamically-growing cache exactly (the cache width — and
+    # hence the compiled program — then depends on utterance length; bounded
+    # contexts keep one program across utterances)
+    n_left = num_decoding_left_chunks if num_decoding_left_chunks >= 0 else n_chunks
     state = init_chunk_state(cfg, decoding_chunk_size * n_left, xs.shape[0], xs.dtype)
 
     step = jax.jit(lambda s, c: generic_encoder_forward_chunk(params, cfg, s, c))

@@ -438,6 +438,13 @@ class TTSModel:
         prompt_sp = len(prompt.flow_prompt_speech_tokens)
         prompt_pad = int(np.ceil(prompt_sp / hop) * hop - prompt_sp)
         token_offset = 0
+        # long-generation windowing (same semantics as _wav_from_token_gen):
+        # the recompute span must fit the largest flow bucket, so drop the
+        # oldest generated tokens once prompt + generated would overflow it
+        cap = FLOW_TOKEN_BUCKETS[-1]
+        window = max(hop, min(self.stream_rollover_window,
+                              cap - prompt_sp - 2 * (hop + la)))
+        base = 0  # generated tokens dropped from the recompute context
         min_a, max_a = jnp.asarray([min_len]), jnp.asarray([max_len])
         pl = jnp.asarray([prompt_len])
 
@@ -464,15 +471,21 @@ class TTSModel:
                     (state.step, state.lengths[0], state.finished[0])
                 )
             done = bool(finished) or int(step) >= state.tokens.shape[1]
+            rel = token_offset - base
+            if prompt_sp + rel + this_hop + la > cap and rel > window:
+                base = token_offset - window
+                rel = window
             if int(n_avail) - token_offset >= this_hop + la:
-                chunk_tokens = np.asarray(state.tokens)[0, : token_offset + this_hop + la]
-                audio = self._token2wav(chunk_tokens, prompt, token_offset, session, True, False)
+                chunk_tokens = np.asarray(state.tokens)[0, base : token_offset + this_hop + la]
+                audio = self._token2wav(chunk_tokens, prompt, rel, session, True, False)
                 token_offset += this_hop
                 yield audio
             elif done:
                 break
-        final_tokens = np.asarray(state.tokens)[0, : int(state.lengths[0])]
-        yield self._token2wav(final_tokens, prompt, token_offset, session, False, True, speed)
+        final_tokens = np.asarray(state.tokens)[0, base : int(state.lengths[0])]
+        yield self._token2wav(
+            final_tokens, prompt, token_offset - base, session, False, True, speed
+        )
 
     def stream_session_bytes(self) -> int:
         """HBM held by one cached-flow streaming session at the configured

@@ -25,3 +25,6 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # (observed in compilation_cache.{get,put}_executable_and_time).  The TPU
 # path keeps its cache + AOT store; CPU tests just recompile.
 jax.config.update("jax_compilation_cache_dir", None)
+# ... and keep load() from re-enabling it mid-suite (it defaults the cache on
+# when the current value is None; "none" is its explicit off switch)
+os.environ["COSY_COMPILE_CACHE"] = "none"

@@ -221,6 +221,27 @@ def test_forward_chunk_by_chunk_parity(cfg, label):
     assert err < 2e-4, f"{label}: max err {err}"
 
 
+def test_unlimited_left_context_past_16_chunks():
+    """num_decoding_left_chunks=-1 must keep ALL left context however long
+    the utterance is (the old code silently capped the cache at 16 chunks,
+    diverging from the reference beyond that)."""
+    import torch
+
+    cfg = _chunk_cfg(arch="transformer", selfattention_layer_type="selfattn",
+                     pos_enc_layer_type="abs_pos", activation_type="relu")
+    ref, params = _build_pair(cfg)
+    sub, rc = subsample_info(cfg.input_layer)
+    n_chunks = 20
+    t = n_chunks * 4 * sub + rc + 1
+    xs = np.random.default_rng(5).standard_normal((1, t, cfg.input_size)).astype(np.float32)
+    with torch.no_grad():
+        want, _ = ref.forward_chunk_by_chunk(torch.from_numpy(xs), 4, -1)
+    got, _ = generic_encoder_forward_chunk_by_chunk(params, cfg, jnp.asarray(xs), 4, -1)
+    assert got.shape == tuple(want.shape), (got.shape, want.shape)
+    err = np.abs(np.asarray(got) - want.numpy()).max()
+    assert err < 5e-4, f"max err {err} (left-context truncated?)"
+
+
 def test_chunk_streaming_matches_chunked_full_forward():
     """Self-consistency (no reference needed): streaming with unlimited-fill
     cache == full forward under the matching chunk mask."""

@@ -216,3 +216,35 @@ def test_wav_from_token_gen_windows_past_flow_bucket(model, monkeypatch):
     scale = CFG.hift.upsample_scale * CFG.flow.token_mel_ratio
     assert len(total) == 150 * scale  # every token vocoded exactly once
     assert np.isfinite(total).all()
+
+
+def test_recompute_tts_windows_past_flow_bucket(monkeypatch):
+    """The sibling recompute loop in tts(cached_stream=False) must apply the
+    same windowing: long LM generations previously overflowed bucket_for
+    mid-stream ('length N exceeds max bucket')."""
+    import cosyvoice2_eu_tpu.runtime.model as rtm
+
+    monkeypatch.setattr(rtm, "FLOW_TOKEN_BUCKETS", (64, 128))
+    k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
+    params = {
+        "llm": init_lm(k1, CFG.llm),
+        "flow": init_flow(k2, CFG.flow),
+        "hift": init_hift(k3, CFG.hift),
+    }
+    m = TTSModel(CFG, params, seed=7, compute_dtype=None, cached_stream=False)
+    rng = np.random.default_rng(9)
+    n_sp = 6
+    prompt = PromptInputs(
+        # long text -> min_len pushes generation past the 128-token cap
+        text_tokens=rng.integers(2, 200, 90).astype(np.int32),
+        prompt_text_tokens=rng.integers(2, 200, 4).astype(np.int32),
+        llm_prompt_speech_tokens=rng.integers(0, CFG.llm.speech_token_size, n_sp).astype(np.int32),
+        flow_prompt_speech_tokens=rng.integers(0, CFG.flow.vocab_size, n_sp).astype(np.int32),
+        prompt_feat=rng.standard_normal((n_sp * 2, CFG.flow.output_size)).astype(np.float32),
+        embedding=rng.standard_normal(CFG.frontend.spk_embed_dim).astype(np.float32),
+    )
+    chunks = list(m.tts(prompt, stream=True))
+    total = np.concatenate(chunks)
+    scale = CFG.hift.upsample_scale * CFG.flow.token_mel_ratio
+    assert len(total) // scale > 128 - n_sp  # really exceeded the cap
+    assert np.isfinite(total).all()

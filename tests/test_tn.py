@@ -153,6 +153,16 @@ def test_zh_detection_and_normalization():
     assert number_to_words_zh(1001) == "一千零一"
     assert number_to_words_zh(10000) == "一万"
     assert number_to_words_zh(12345) == "一万二千三百四十五"
+    # zero-group separator: 一亿零一千, NOT 一亿一千 (which reads as 1.1亿)
+    assert number_to_words_zh(100001000) == "一亿零一千"
+    assert number_to_words_zh(100000001) == "一亿零一"
+    # 10^12 group has its own unit
+    assert number_to_words_zh(10**12) == "一万亿"
+    assert number_to_words_zh(9999999999999) == (
+        "九万亿九千九百九十九亿九千九百九十九万九千九百九十九"
+    )
+    # beyond supported units: digit-by-digit, never silently unit-less
+    assert number_to_words_zh(10**16) == "一" + "零" * 16
 
     s = normalize_chinese("今年是2024年，增长25%，价格3.5元.")
     assert "二零二四年" in s
