@@ -466,3 +466,97 @@ def load(
                     logging.exception("failed to load %s", spk_path)
                 break
     return Cosy2EU(model, frontend, cfg)
+
+
+def load_v1(
+    *,
+    model_dir: Optional[str] = None,
+    config=None,
+    params: Optional[dict] = None,
+    seed: int = 0,
+):
+    """Load a v1 (CosyVoice-300M family) bundle.
+
+    Mirrors the reference ``CosyVoice`` loader (cli/cosyvoice.py:27-65):
+    ``model_dir`` holds ``llm.pt``/``flow.pt``/``hift.pt`` (converted via
+    runtime/checkpoint_v1.py), ``speech_tokenizer_v1.onnx``/``campplus.onnx``
+    (structural-or-executor ONNX path) and optionally ``spk2info.pt``.  With
+    ``config=`` and no model_dir a random-initialized bundle is built; with
+    ``params=`` an already-converted {"llm","flow","hift"} pytree is used
+    directly.  The reference's v1 tokenizer is whisper-tiktoken — tiktoken
+    is host-optional here, so HF tokenizer files in model_dir are used when
+    present (documented deviation; text ids must then match training).
+
+    Returns ``(CosyVoice1Model, Frontend, TTSV1Config)``.
+    """
+    import jax
+
+    from cosyvoice2_eu_tpu.config import TTSV1Config
+    from cosyvoice2_eu_tpu.frontend.frontend import Frontend
+    from cosyvoice2_eu_tpu.frontend.tokenizer import get_tokenizer
+    from cosyvoice2_eu_tpu.runtime.model_v1 import CosyVoice1Model
+
+    cfg = config or TTSV1Config()
+    if params is not None:
+        params = jax.device_put(params)
+    elif model_dir is not None:
+        from cosyvoice2_eu_tpu.runtime.checkpoint import (
+            convert_hift,
+            load_torch_state,
+        )
+        from cosyvoice2_eu_tpu.runtime.checkpoint_v1 import (
+            convert_flow_v1,
+            convert_llm_v1,
+        )
+
+        params = {
+            "llm": convert_llm_v1(
+                load_torch_state(os.path.join(model_dir, "llm.pt")), cfg.llm
+            ),
+            "flow": convert_flow_v1(
+                load_torch_state(os.path.join(model_dir, "flow.pt")), cfg.flow
+            ),
+            "hift": convert_hift(
+                load_torch_state(os.path.join(model_dir, "hift.pt")), cfg.hift
+            ),
+        }
+    else:
+        from cosyvoice2_eu_tpu.models.flow_v1 import init_flow_v1
+        from cosyvoice2_eu_tpu.models.hift import init_hift
+        from cosyvoice2_eu_tpu.models.llm_v1 import init_lm_v1
+
+        k1, k2, k3 = jax.random.split(jax.random.key(seed), 3)
+        params = {
+            "llm": init_lm_v1(k1, cfg.llm),
+            "flow": init_flow_v1(k2, cfg.flow),
+            "hift": init_hift(k3, cfg.hift),
+        }
+
+    speech_tokenizer_fn = spk_embedding_fn = None
+    if model_dir is not None:
+        from cosyvoice2_eu_tpu.runtime.onnx_fallback import load_frontend_fns
+
+        speech_tokenizer_fn, spk_embedding_fn = load_frontend_fns(
+            os.path.join(model_dir, "speech_tokenizer_v1.onnx"),
+            os.path.join(model_dir, "campplus.onnx"),
+        )
+
+    model = CosyVoice1Model(cfg, params, seed=seed)
+    frontend = Frontend(
+        cfg,
+        tokenizer=get_tokenizer(model_dir or ""),
+        speech_tokenizer_fn=speech_tokenizer_fn,
+        spk_embedding_fn=spk_embedding_fn,
+    )
+    if model_dir is not None:
+        for name in ("spk2info.pt", "spk2info.npz"):
+            spk_path = os.path.join(model_dir, name)
+            if os.path.exists(spk_path):
+                try:
+                    frontend.load_spk_info(spk_path)
+                except Exception:
+                    import logging
+
+                    logging.exception("failed to load %s", spk_path)
+                break
+    return model, frontend, cfg

@@ -137,3 +137,189 @@ class CosyVoice2:
 
     def inference_instruct(self, *args, **kwargs):
         raise NotImplementedError("inference_instruct is not implemented for CosyVoice2!")
+
+
+class CosyVoice:
+    """v1 (CosyVoice-300M family) reference-compatible surface.
+
+    Mirrors cli/cosyvoice.py:27-141: constructor flags, spk2info store,
+    and the five generator methods.  jit/trt/fp16 are GPU-engine knobs in
+    the reference and are accepted-and-ignored (XLA always compiles).
+    ``config=``/``params=``/``seed=`` extend the surface for injected tiny
+    configs and bring-your-own-weights, like ``load()`` does for v2.
+    """
+
+    def __init__(
+        self,
+        model_dir: Optional[str] = None,
+        load_jit: bool = False,
+        load_trt: bool = False,
+        fp16: bool = False,
+        trt_concurrent: int = 1,
+        config=None,
+        params=None,
+        seed: int = 0,
+    ):
+        # reference: instruct capability keyed off the model-dir name
+        # (cli/cosyvoice.py:30)
+        self.instruct = "-Instruct" in (model_dir or "")
+        self.model_dir = model_dir
+        self.model, self.frontend, self._cfg = cosy.load_v1(
+            model_dir=model_dir, config=config, params=params, seed=seed
+        )
+        self.sample_rate = self._cfg.sample_rate
+
+    # -- helpers -------------------------------------------------------------
+
+    def _extract(self, prompt_speech_16k, prompt_text: str = "") -> dict:
+        wav = _as_numpy_wav(prompt_speech_16k)
+        return self.frontend.extract_prompt(wav, prompt_text)
+
+    def _segments(self, tts_text: str, text_frontend: bool):
+        return (
+            self.frontend.normalize_text(tts_text, split=True)
+            if text_frontend
+            else [tts_text]
+        )
+
+    def _emit(self, gen):
+        import torch
+
+        start = time.time()
+        for chunk in gen:
+            speech_len = chunk.shape[0] / self.sample_rate
+            logging.info(
+                "yield speech len %s, rtf %s",
+                speech_len, (time.time() - start) / max(speech_len, 1e-6),
+            )
+            yield {"tts_speech": torch.from_numpy(np.asarray(chunk))[None]}
+            start = time.time()
+
+    def _empty_prompt(self):
+        mels = self._cfg.flow.output_size
+        return (np.zeros((0,), np.int32), np.zeros((0, mels), np.float32))
+
+    # -- reference API ---------------------------------------------------------
+
+    def list_available_spks(self):
+        return list(self.frontend.spk_info)
+
+    def add_zero_shot_spk(self, prompt_text, prompt_speech_16k, zero_shot_spk_id) -> bool:
+        assert zero_shot_spk_id != "", "do not use empty zero_shot_spk_id"
+        art = self._extract(prompt_speech_16k, prompt_text)
+        return self.frontend.add_zero_shot_spk(zero_shot_spk_id, art)
+
+    def save_spkinfo(self):
+        import os
+
+        self.frontend.save_spk_info(os.path.join(self.model_dir, "spk2info.npz"))
+
+    def inference_sft(self, tts_text, spk_id, stream=False, speed=1.0,
+                      text_frontend=True):
+        """SFT: speaker embedding only — no prompt text/tokens/feats
+        (frontend.py:485 frontend_sft)."""
+        art = self.frontend.get_spk(spk_id)
+        empty_tok, empty_feat = self._empty_prompt()
+        for seg in self._segments(tts_text, text_frontend):
+            yield from self._emit(self.model.tts(
+                self.frontend.text_tokens(seg), empty_tok, empty_tok,
+                empty_feat, np.asarray(art["embedding"], np.float32),
+                stream=stream, speed=speed,
+            ))
+
+    def inference_zero_shot(self, tts_text, prompt_text, prompt_speech_16k,
+                            zero_shot_spk_id="", stream=False, speed=1.0,
+                            text_frontend=True):
+        art = (
+            self.frontend.get_spk(zero_shot_spk_id)
+            if zero_shot_spk_id
+            else self._extract(prompt_speech_16k, prompt_text)
+        )
+        ptext = art.get("prompt_text", prompt_text) or ""
+        for seg in self._segments(tts_text, text_frontend):
+            if len(seg) < 0.5 * len(ptext):
+                logging.warning(
+                    "synthesis text %s too short than prompt text %s, "
+                    "this may lead to bad performance", seg, ptext,
+                )
+            yield from self._emit(self.model.tts(
+                self.frontend.text_tokens(seg),
+                self.frontend.text_tokens(ptext),
+                np.asarray(art["speech_tokens"], np.int32),
+                np.asarray(art["prompt_feat"], np.float32),
+                np.asarray(art["embedding"], np.float32),
+                stream=stream, speed=speed,
+            ))
+
+    def inference_cross_lingual(self, tts_text, prompt_speech_16k,
+                                zero_shot_spk_id="", stream=False, speed=1.0,
+                                text_frontend=True):
+        """Cross-lingual: LM sees neither prompt text nor prompt speech
+        tokens (frontend.py:515-522); the flow keeps them for timbre."""
+        art = (
+            self.frontend.get_spk(zero_shot_spk_id)
+            if zero_shot_spk_id
+            else self._extract(prompt_speech_16k)
+        )
+        empty_tok, _ = self._empty_prompt()
+        for seg in self._segments(tts_text, text_frontend):
+            yield from self._emit(self.model.tts(
+                self.frontend.text_tokens(seg), empty_tok,
+                np.asarray(art["speech_tokens"], np.int32),
+                np.asarray(art["prompt_feat"], np.float32),
+                np.asarray(art["embedding"], np.float32),
+                stream=stream, speed=speed,
+                llm_prompt_speech_tokens=empty_tok,
+            ))
+
+    def inference_instruct(self, tts_text, spk_id, instruct_text, stream=False,
+                           speed=1.0, text_frontend=True):
+        """v1 instruct: instruct text becomes the prompt text, the LM spk
+        slot is dropped (frontend.py:524-531 deletes llm_embedding)."""
+        if self.instruct is False:
+            raise ValueError(
+                f"{self.model_dir} do not support instruct inference"
+            )
+        art = self.frontend.get_spk(spk_id)
+        instruct_norm = (
+            self.frontend.normalize_text(instruct_text, split=False)
+            if text_frontend else instruct_text
+        )
+        if isinstance(instruct_norm, list):
+            instruct_norm = " ".join(instruct_norm)
+        ptext_tokens = self.frontend.text_tokens(instruct_norm + "<endofprompt>")
+        empty_tok, empty_feat = self._empty_prompt()
+        for seg in self._segments(tts_text, text_frontend):
+            yield from self._emit(self.model.tts(
+                self.frontend.text_tokens(seg), ptext_tokens, empty_tok,
+                empty_feat, np.asarray(art["embedding"], np.float32),
+                stream=stream, speed=speed, llm_embedding=None,
+            ))
+
+    def inference_vc(self, source_speech_16k, prompt_speech_16k, stream=False,
+                     speed=1.0):
+        """Voice conversion: source speech tokens straight to token2wav
+        (cli/cosyvoice.py:133, frontend.py:539)."""
+        if self.frontend.speech_tokenizer_fn is None:
+            raise ValueError(
+                "vc needs the speech tokenizer (speech_tokenizer_v1.onnx in "
+                "model_dir) to tokenize the source audio"
+            )
+        art = self._extract(prompt_speech_16k)
+        source_tokens = np.asarray(
+            self.frontend.speech_tokenizer_fn(_as_numpy_wav(source_speech_16k)),
+            np.int32,
+        )
+        yield from self._emit(self.model.vc(
+            source_tokens,
+            np.asarray(art["speech_tokens"], np.int32),
+            np.asarray(art["prompt_feat"], np.float32),
+            np.asarray(art["embedding"], np.float32),
+            stream=stream, speed=speed,
+        ))
+
+
+def _as_numpy_wav(x) -> np.ndarray:
+    if hasattr(x, "numpy"):  # torch tensor
+        x = x.numpy()
+    return np.asarray(x).reshape(-1).astype(np.float32)

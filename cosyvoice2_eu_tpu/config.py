@@ -245,6 +245,198 @@ class F0PredictorConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class EstimatorV1Config:
+    """Non-causal multi-scale U-Net CFM estimator (the v1 family).
+
+    Reference: cosy_repo/cosyvoice/flow/decoder.py:88 (ConditionalDecoder)
+    and conf/cosyvoice.yaml decoder block (channels [256, 256]).
+    """
+
+    in_channels: int = 320  # x(80) + mu(80) + spks(80) + cond(80)
+    out_channels: int = 80
+    channels: Tuple[int, ...] = (256, 256)
+    attention_head_dim: int = 64
+    n_blocks: int = 4
+    num_mid_blocks: int = 12
+    num_heads: int = 8
+    act_fn: str = "gelu"
+    time_embed_scale: float = 1000.0
+
+
+@dataclasses.dataclass(frozen=True)
+class LengthRegulatorConfig:
+    """InterpolateRegulator: linear resample + conv/GroupNorm/Mish stack.
+
+    Reference: cosy_repo/cosyvoice/flow/length_regulator.py:21 and
+    conf/cosyvoice.yaml (channels 80, sampling_ratios [1,1,1,1]).
+    """
+
+    channels: int = 80
+    sampling_ratios: Tuple[int, ...] = (1, 1, 1, 1)
+    groups: int = 1
+
+
+def _v1_flow_encoder() -> "GenericEncoderConfig":
+    # conf/cosyvoice.yaml flow.encoder: plain (non-upsampling) conformer
+    return GenericEncoderConfig(
+        input_size=512, output_size=512, attention_heads=8, linear_units=2048,
+        num_blocks=6, arch="conformer", input_layer="linear",
+        pos_enc_layer_type="rel_pos_espnet", selfattention_layer_type="rel_selfattn",
+        use_cnn_module=False, macaron_style=False,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class FlowV1Config:
+    """v1 flow: MaskedDiffWithXvec (token -> mel via length regulator).
+
+    Reference: cosy_repo/cosyvoice/flow/flow.py:24 and conf/cosyvoice.yaml.
+    The structural contrast to FlowConfig (v2): tokens map 1:1 through the
+    encoder and a length regulator linearly stretches to the mel length
+    (token_mel_ratio == 1 is the registry dispatch marker); v2 upsamples
+    2x inside a causal encoder.
+    """
+
+    input_size: int = 512
+    output_size: int = 80  # mel bins
+    spk_embed_dim: int = 192
+    vocab_size: int = 4096
+    input_frame_rate: int = 50
+    only_mask_loss: bool = True
+    token_mel_ratio: int = 1
+    sample_rate: int = 22050
+    mel_hop: int = 256
+    encoder: GenericEncoderConfig = dataclasses.field(default_factory=_v1_flow_encoder)
+    length_regulator: LengthRegulatorConfig = dataclasses.field(
+        default_factory=LengthRegulatorConfig
+    )
+    estimator: EstimatorV1Config = dataclasses.field(default_factory=EstimatorV1Config)
+    cfm: CFMConfig = dataclasses.field(default_factory=CFMConfig)
+    cache_tail_tokens: int = 20  # streaming token overlap pinned in the z/mu cache
+
+    @property
+    def cache_tail(self) -> int:
+        # flow_matching.py:62 hardcodes 34 — which is exactly this expression
+        # for the production geometry (20-token overlap, 50 Hz, 22.05 kHz/256).
+        return int(self.cache_tail_tokens / self.input_frame_rate
+                   * self.sample_rate / self.mel_hop)
+
+
+def _v1_text_encoder() -> "GenericEncoderConfig":
+    # conf/cosyvoice.yaml llm.text_encoder (static_chunk_size 1 = causal)
+    return GenericEncoderConfig(
+        input_size=512, output_size=1024, attention_heads=16, linear_units=4096,
+        num_blocks=6, arch="conformer", input_layer="linear",
+        pos_enc_layer_type="rel_pos_espnet", selfattention_layer_type="rel_selfattn",
+        use_cnn_module=False, macaron_style=False, static_chunk_size=1,
+    )
+
+
+def _v1_llm_encoder() -> "GenericEncoderConfig":
+    # conf/cosyvoice.yaml llm.llm (the decoder-only speech-token LM);
+    # activation is relu — the reference TransformerEncoder default
+    # (encoder.py:361), unlike ConformerEncoder's swish
+    return GenericEncoderConfig(
+        input_size=1024, output_size=1024, attention_heads=16, linear_units=4096,
+        num_blocks=14, arch="transformer", input_layer="linear_legacy",
+        pos_enc_layer_type="rel_pos_espnet", selfattention_layer_type="rel_selfattn",
+        activation_type="relu", static_chunk_size=1,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class LMV1Config:
+    """v1 TransformerLM: conformer text encoder + transformer speech LM.
+
+    Reference: cosy_repo/cosyvoice/llm/llm.py:120 and conf/cosyvoice.yaml.
+    """
+
+    text_encoder_input_size: int = 512
+    llm_input_size: int = 1024
+    llm_output_size: int = 1024
+    text_token_size: int = 51866
+    speech_token_size: int = 4096
+    spk_embed_dim: int = 192
+    lsm_weight: float = 0.0
+    length_normalized_loss: bool = True
+    text_encoder: GenericEncoderConfig = dataclasses.field(default_factory=_v1_text_encoder)
+    llm: GenericEncoderConfig = dataclasses.field(default_factory=_v1_llm_encoder)
+    # RAS sampling (conf/cosyvoice.yaml sampling block)
+    top_p: float = 0.8
+    top_k: int = 25
+    win_size: int = 10
+    tau_r: float = 0.1
+    min_token_text_ratio: float = 2.0
+    max_token_text_ratio: float = 20.0
+
+    @property
+    def eos_token(self) -> int:
+        return self.speech_token_size  # llm.py:259 (speech_token_size == eos)
+
+
+def _v1_hift() -> "HiFTConfig":
+    # conf/cosyvoice.yaml hift block: 22.05 kHz, hop 8*8*4 = 256
+    return HiFTConfig(
+        sampling_rate=22050, upsample_rates=(8, 8), upsample_kernel_sizes=(16, 16),
+        source_resblock_kernel_sizes=(7, 11),
+        source_resblock_dilation_sizes=((1, 3, 5), (1, 3, 5)),
+    )
+
+
+def _v1_mel() -> "MelConfig":
+    # conf/cosyvoice.yaml mel_spec_transform1: 22.05 kHz, 1024/256/1024
+    return MelConfig(n_fft=1024, sampling_rate=22050, hop_size=256, win_size=1024)
+
+
+def _v1_frontend() -> "FrontendConfig":
+    return FrontendConfig(target_sr=22050)
+
+
+@dataclasses.dataclass(frozen=True)
+class TTSV1Config:
+    """The v1 model bundle (CosyVoice-300M family) + streaming constants.
+
+    Reference: cli/model.py:29 (CosyVoiceModel) — token_min/max_hop derive
+    from the flow frame rate, overlap is 20 tokens, mel/hift cache mirror
+    the 22.05 kHz/256-hop geometry.
+    """
+
+    llm: LMV1Config = dataclasses.field(default_factory=LMV1Config)
+    flow: FlowV1Config = dataclasses.field(default_factory=FlowV1Config)
+    hift: HiFTConfig = dataclasses.field(default_factory=_v1_hift)
+    frontend: "FrontendConfig" = dataclasses.field(default_factory=_v1_frontend)
+    mel: "MelConfig" = dataclasses.field(default_factory=_v1_mel)
+    token_overlap_len: int = 20  # cli/model.py:47
+    mel_cache_len: int = 20  # cli/model.py:52
+    stream_scale_factor: float = 1.0  # cli/model.py:57
+    # 22.05 kHz path applies NO feat/token trim (frontend.py:498 gates the
+    # 2:1 alignment on resample_rate == 24000); 0 marks "no alignment"
+    token_mel_ratio: int = 0
+
+    @property
+    def sample_rate(self) -> int:
+        return self.flow.sample_rate
+
+    @property
+    def token_min_hop_len(self) -> int:
+        return 2 * self.flow.input_frame_rate  # cli/model.py:45
+
+    @property
+    def token_max_hop_len(self) -> int:
+        return 4 * self.flow.input_frame_rate
+
+    @property
+    def mel_overlap_len(self) -> int:
+        # cli/model.py:49: overlap tokens expressed in mel frames
+        return int(self.token_overlap_len / self.flow.input_frame_rate
+                   * self.flow.sample_rate / self.flow.mel_hop)
+
+    @property
+    def source_cache_len(self) -> int:
+        return self.mel_cache_len * self.flow.mel_hop  # cli/model.py:53
+
+
+@dataclasses.dataclass(frozen=True)
 class HiFTConfig:
     """HiFT vocoder: NSF source + HiFi-GAN MRF + iSTFT head.
 

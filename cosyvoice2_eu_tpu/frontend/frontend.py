@@ -130,11 +130,14 @@ class Frontend:
         else:
             raise ValueError("no speaker embedding model; pass precomputed_embedding")
 
-        # enforce feat == 2 * tokens (frontend.py:498-502)
+        # enforce feat == 2 * tokens (frontend.py:498-502); the reference
+        # gates this on resample_rate == 24000 — the v1 22.05 kHz config
+        # carries token_mel_ratio == 0 meaning "no alignment trim"
         ratio = cfg.token_mel_ratio
-        token_len = min(feat.shape[0] // ratio, len(speech_tokens))
-        feat = feat[: ratio * token_len]
-        speech_tokens = speech_tokens[:token_len]
+        if ratio:
+            token_len = min(feat.shape[0] // ratio, len(speech_tokens))
+            feat = feat[: ratio * token_len]
+            speech_tokens = speech_tokens[:token_len]
         return {
             "prompt_feat": feat.astype(np.float32),
             "speech_tokens": speech_tokens,
