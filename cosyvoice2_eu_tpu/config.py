@@ -576,6 +576,11 @@ class TrainConfig:
     weight_decay: float = 0.0
     scheduler: str = "constantlr"
     warmup_steps: int = 2500
+    # NeMo annealing family knobs (reference utils/scheduler.py:74-718)
+    max_steps: int = 100_000
+    min_lr: float = 0.0
+    constant_steps: int = 0
+    sched_d_model: int = 896  # NoamAnnealing normalizer (Qwen2-0.5B hidden)
     max_epoch: int = 30
     grad_clip: float = 5.0
     accum_grad: int = 4

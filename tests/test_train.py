@@ -290,3 +290,84 @@ def test_straggler_guard_quiet_when_beating():
     finally:
         _logging.getLogger().removeHandler(handler)
     assert not any("NO step progress" in r.getMessage() for r in records)
+
+
+# ---------------------------------------------------------------------------
+# NeMo annealing scheduler family parity vs the reference torch classes
+# ---------------------------------------------------------------------------
+
+def test_annealing_schedules_match_reference():
+    """Step the reference's actual torch schedulers (utils/scheduler.py) and
+    pin our jax schedules to the exact LR trajectories."""
+    from cosyvoice2_eu_tpu.runtime import refverify as rv
+
+    if not rv.reference_available():
+        pytest.skip("reference checkout not present")
+    rv.install_reference()
+    import torch
+    import warnings
+    from cosyvoice.utils import scheduler as ref_sched
+
+    from cosyvoice2_eu_tpu.train import optim
+
+    lr, warm, max_steps = 2e-3, 5, 40
+
+    def trajectory(ref_cls, ours, steps=46, **kw):
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([p], lr=lr)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            s = ref_cls(opt, **kw)
+            got, want = [], []
+            for step in range(steps):
+                # torch convention: last_epoch == step index at read time
+                s.last_epoch = step
+                want.append(s.get_lr()[0])
+                got.append(float(ours(step)))
+        # our schedules evaluate in float32 (they live inside jitted optax
+        # transforms); the torch reference computes in float64
+        np.testing.assert_allclose(got, want, rtol=3e-5, atol=1e-12)
+
+    trajectory(
+        ref_sched.NoamAnnealing,
+        optim.noam_annealing(lr, 64, warm, min_lr=1e-5),
+        d_model=64, warmup_steps=warm, min_lr=1e-5,
+    )
+    trajectory(
+        ref_sched.CosineAnnealing,
+        optim.cosine_annealing(lr, max_steps, warm, min_lr=1e-5),
+        max_steps=max_steps, warmup_steps=warm, min_lr=1e-5,
+    )
+    trajectory(
+        ref_sched.CosineAnnealing,
+        optim.cosine_annealing(lr, max_steps, warm, constant_steps=8,
+                               min_lr=1e-5),
+        max_steps=max_steps, warmup_steps=warm, constant_steps=8, min_lr=1e-5,
+    )
+    trajectory(
+        ref_sched.SquareAnnealing,
+        optim.square_annealing(lr, max_steps, warm),
+        max_steps=max_steps, warmup_steps=warm,
+    )
+    trajectory(
+        ref_sched.SquareRootAnnealing,
+        optim.squareroot_annealing(lr, max_steps, warm),
+        max_steps=max_steps, warmup_steps=warm,
+    )
+    trajectory(
+        ref_sched.SquareRootConstantPolicy,
+        optim.squareroot_constant(lr, max_steps, 10),
+        max_steps=max_steps, constant_steps=10,
+    )
+
+
+def test_make_schedule_annealing_names():
+    from cosyvoice2_eu_tpu.train.optim import make_schedule
+
+    for name in ("noamannealing", "cosineannealing", "squareannealing",
+                 "squarerootannealing", "squarerootconstant"):
+        cfg = TrainConfig(lr=1e-3, scheduler=name, warmup_steps=4,
+                          max_steps=100, constant_steps=5, min_lr=1e-6)
+        s = make_schedule(cfg)
+        vals = [float(s(t)) for t in (0, 4, 50, 100, 120)]
+        assert all(np.isfinite(v) and v >= 0 for v in vals), (name, vals)
