@@ -483,9 +483,10 @@ def load_v1(
     (structural-or-executor ONNX path) and optionally ``spk2info.pt``.  With
     ``config=`` and no model_dir a random-initialized bundle is built; with
     ``params=`` an already-converted {"llm","flow","hift"} pytree is used
-    directly.  The reference's v1 tokenizer is whisper-tiktoken — tiktoken
-    is host-optional here, so HF tokenizer files in model_dir are used when
-    present (documented deviation; text ids must then match training).
+    directly.  The reference's v1 tokenizer is whisper-tiktoken; a
+    ``*.tiktoken`` ranks asset in model_dir selects the native
+    ``frontend/legacy_tokenizer.py`` port (token-exact vs tiktoken), with
+    HF tokenizer files as the fallback.
 
     Returns ``(CosyVoice1Model, Frontend, TTSV1Config)``.
     """

@@ -9,6 +9,7 @@ byte-level tokenizer when no HF vocabulary is available (offline tests).
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 from typing import List
 
@@ -73,6 +74,31 @@ class ByteFallbackTokenizer:
 
 @lru_cache(maxsize=None)
 def get_tokenizer(token_path: str = "", skip_special_tokens: bool = True):
+    """Resolve a tokenizer from a model dir.
+
+    A ``*.tiktoken`` ranks file selects the legacy whisper-tiktoken encoding
+    (the CosyVoice-300M-25Hz recipe, reference tokenizer.py:172-241);
+    otherwise HF tokenizer files select the Qwen tokenizer; empty path falls
+    back to the byte tokenizer for tests.
+    """
     if not token_path:
         return ByteFallbackTokenizer()
+    if os.path.isdir(token_path):
+        ranks = sorted(
+            f for f in os.listdir(token_path) if f.endswith(".tiktoken")
+        )
+        if ranks and not os.path.exists(
+            os.path.join(token_path, "tokenizer_config.json")
+        ):
+            from cosyvoice2_eu_tpu.frontend.legacy_tokenizer import (
+                get_legacy_tokenizer,
+            )
+
+            return get_legacy_tokenizer(os.path.join(token_path, ranks[0]))
+    elif token_path.endswith(".tiktoken"):
+        from cosyvoice2_eu_tpu.frontend.legacy_tokenizer import (
+            get_legacy_tokenizer,
+        )
+
+        return get_legacy_tokenizer(token_path)
     return QwenTokenizer(token_path, skip_special_tokens)
