@@ -137,3 +137,38 @@ def test_plot_durations(tree, tmp_path):
     png = tmp_path / "hist.png"
     if corpus.plot_durations(utts, str(png)):
         assert png.stat().st_size > 0
+
+
+def test_upload_weights_dry_run(tmp_path):
+    """tools/upload_weights.py best-checkpoint resolution + dry-run listing
+    (reference bin/upload_weights.py)."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import upload_weights
+
+    exp = tmp_path / "exp"
+    llm = exp / "llm"
+    llm.mkdir(parents=True)
+    # two sidecar-described checkpoints; lower cv_loss must win
+    (llm / "epoch_1").mkdir()
+    (llm / "epoch_2").mkdir()
+    (llm / "epoch_1.json").write_text(json.dumps(
+        {"tag": "epoch_1", "cv_loss": 3.2, "epoch": 1, "step": 10}))
+    (llm / "epoch_2.json").write_text(json.dumps(
+        {"tag": "epoch_2", "cv_loss": 2.9, "epoch": 2, "step": 20}))
+    (exp / "config.json").write_text("{}")
+
+    uploads = upload_weights.main([
+        "--exp_dir", str(exp), "--hf_repo_id", "x/y", "--dry-run",
+    ])
+    assert uploads["llm"].endswith("epoch_2")
+    assert "config.json" in uploads
+
+    # averaged artifact takes precedence when present
+    (llm / "llm_averaged").mkdir()
+    uploads = upload_weights.main([
+        "--exp_dir", str(exp), "--hf_repo_id", "x/y", "--dry-run",
+    ])
+    assert uploads["llm"].endswith("llm_averaged")
