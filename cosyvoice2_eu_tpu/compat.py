@@ -52,6 +52,19 @@ class CosyVoice2:
         )
         self.sample_rate = self._api.sample_rate
         self.frontend = self._api._frontend
+        self.model_dir = model_dir
+
+    def save_spkinfo(self):
+        """Persist cached zero-shot speakers next to the checkpoints
+        (reference cli/cosyvoice.py:78-79, inherited by CosyVoice2)."""
+        import os
+
+        if not self.model_dir:
+            raise ValueError(
+                "save_spkinfo() needs a model_dir to write spk2info.npz to; "
+                "call frontend.save_spk_info(path) with an explicit path"
+            )
+        self.frontend.save_spk_info(os.path.join(self.model_dir, "spk2info.npz"))
 
     # -- helpers -------------------------------------------------------------
 
@@ -96,6 +109,11 @@ class CosyVoice2:
     def inference_zero_shot(self, tts_text, prompt_text, prompt_speech_16k,
                             zero_shot_spk_id="", stream=False, speed=1.0,
                             text_frontend=True) -> Generator[dict, None, None]:
+        # the reference normalizes the prompt transcription before it reaches
+        # the LM prompt tokens (cli/cosyvoice.py:93, split=False), gated on
+        # text_frontend like the synthesis text
+        if text_frontend:
+            prompt_text = self.frontend.normalize_text(prompt_text, split=False)
         prompt = (
             self.frontend.get_spk(zero_shot_spk_id)
             if zero_shot_spk_id
@@ -212,6 +230,12 @@ class CosyVoice:
     def save_spkinfo(self):
         import os
 
+        if not self.model_dir:
+            raise ValueError(
+                "save_spkinfo() needs a model_dir to write spk2info.npz to; "
+                "this instance was built from config=/params= without one — "
+                "call frontend.save_spk_info(path) with an explicit path"
+            )
         self.frontend.save_spk_info(os.path.join(self.model_dir, "spk2info.npz"))
 
     def inference_sft(self, tts_text, spk_id, stream=False, speed=1.0,
@@ -230,6 +254,10 @@ class CosyVoice:
     def inference_zero_shot(self, tts_text, prompt_text, prompt_speech_16k,
                             zero_shot_spk_id="", stream=False, speed=1.0,
                             text_frontend=True):
+        # reference normalizes the prompt transcription too
+        # (cli/cosyvoice.py:93, split=False), gated on text_frontend
+        if text_frontend:
+            prompt_text = self.frontend.normalize_text(prompt_text, split=False)
         art = (
             self.frontend.get_spk(zero_shot_spk_id)
             if zero_shot_spk_id

@@ -231,7 +231,10 @@ def rq1_component_ablation(rows: List[dict], language: str, out_dir: str) -> dic
         for metric in TABLE_METRICS:
             mean, std, n = agg(sub, metric)
             cells.append(fmt(mean, std, metric))
-            crow[f"{metric}_mean"], crow[f"{metric}_std"], crow["n"] = (
+            # per-metric sample count: metrics have different NaN coverage
+            # (e.g. WER over 50 rows, pitch over 10), so one shared "n"
+            # column would misreport the support of every mean/std
+            crow[f"{metric}_mean"], crow[f"{metric}_std"], crow[f"{metric}_n"] = (
                 round(mean, 4) if np.isfinite(mean) else "",
                 round(std, 4) if np.isfinite(std) else "", n,
             )

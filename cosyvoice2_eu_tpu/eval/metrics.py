@@ -171,10 +171,8 @@ def _linear_smoothing(ps: np.ndarray, width: float, fs: int, fft_size: int) -> n
     # cumulative integral with trapezoid on the uniform grid
     cum = np.concatenate([[0.0], np.cumsum((ext_ps[1:] + ext_ps[:-1]) * 0.5 * df)])
     # integral of ps over [f - w/2, f + w/2] via interpolation of the cumsum
-    grid = np.concatenate([[ext_freq[0]], ext_freq[1:]])
-
     def integral(x):
-        return np.interp(x, grid, cum)
+        return np.interp(x, ext_freq, cum)
 
     lo = freq - width / 2.0
     hi = freq + width / 2.0

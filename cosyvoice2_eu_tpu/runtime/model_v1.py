@@ -21,7 +21,6 @@ identical to the reference scheduler; only time-to-first-audio differs
 
 from __future__ import annotations
 
-import functools
 from typing import Iterator, Optional
 
 import jax
@@ -60,37 +59,54 @@ class CosyVoice1Model:
         self._rng = jax.random.key(seed)
         self.mel_window = np.hamming(2 * cfg.mel_overlap_len)
         self.speech_window = np.hamming(2 * cfg.source_cache_len)
+        # per-INSTANCE jit cache keyed by static geometry: an lru_cache on
+        # the bound methods would key on `self` in a class-level cache and
+        # pin every discarded instance (and its param buffers) in memory
+        self._fn_cache: dict = {}
 
     # -- jitted stage programs (cached per static geometry) ---------------
 
-    @functools.lru_cache(maxsize=16)
+    def _cached(self, key, build):
+        fn = self._fn_cache.get(key)
+        if fn is None:
+            fn = self._fn_cache[key] = jax.jit(build())
+        return fn
+
     def _lm_fn(self, tt_bucket: int, ts_bucket: int, max_gen: int,
                use_spk: bool = True):
-        def fn(params, text, text_len, prompt_text_len, prompt_sp, prompt_sp_len,
-               emb, rng):
-            return lm_v1_decode(params, self.cfg.llm, text, text_len,
-                                prompt_text_len, prompt_sp, prompt_sp_len,
-                                emb, rng, max_gen, use_spk=use_spk)
+        def build():
+            def fn(params, text, text_len, prompt_text_len, prompt_sp,
+                   prompt_sp_len, emb, rng):
+                return lm_v1_decode(params, self.cfg.llm, text, text_len,
+                                    prompt_text_len, prompt_sp, prompt_sp_len,
+                                    emb, rng, max_gen, use_spk=use_spk)
 
-        return jax.jit(fn)
+            return fn
 
-    @functools.lru_cache(maxsize=64)
+        return self._cached(("lm", tt_bucket, ts_bucket, max_gen, use_spk), build)
+
     def _flow_fn(self, t1: int, t2: int, mel1: int, cache_t: int):
-        def fn(params, token, prompt_token, prompt_feat, emb, rng, flow_cache):
-            return flow_v1_inference(
-                params, self.cfg.flow, token, prompt_token, prompt_feat, emb,
-                rng, flow_cache=flow_cache if cache_t else None,
-            )
+        def build():
+            def fn(params, token, prompt_token, prompt_feat, emb, rng, flow_cache):
+                return flow_v1_inference(
+                    params, self.cfg.flow, token, prompt_token, prompt_feat,
+                    emb, rng, flow_cache=flow_cache if cache_t else None,
+                )
 
-        return jax.jit(fn)
+            return fn
 
-    @functools.lru_cache(maxsize=16)
+        return self._cached(("flow", t1, t2, mel1, cache_t), build)
+
     def _hift_fn(self, mel_bucket: int):
-        def fn(params, mel, rng, cache_source, cache_len):
-            return hift_inference(params, self.cfg.hift, mel, rng,
-                                  cache_source=cache_source, cache_len=cache_len)
+        def build():
+            def fn(params, mel, rng, cache_source, cache_len):
+                return hift_inference(params, self.cfg.hift, mel, rng,
+                                      cache_source=cache_source,
+                                      cache_len=cache_len)
 
-        return jax.jit(fn)
+            return fn
+
+        return self._cached(("hift", mel_bucket), build)
 
     def _next_rng(self):
         self._rng, sub = jax.random.split(self._rng)

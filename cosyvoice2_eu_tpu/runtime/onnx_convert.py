@@ -47,17 +47,81 @@ def _consumer_map(nodes):
 _TRANSPARENT_OPS = ("Identity", "Dropout")
 _FLOAT_ONNX_TYPES = (1, 10, 11, 16)  # f32, f16, f64, bf16
 
+# ONNX TensorProto dtype enum -> numpy-style kind character
+_ONNX_TYPE_KIND = {
+    1: "f", 10: "f", 11: "f", 16: "f",               # floats
+    2: "u", 4: "u", 12: "u", 13: "u",                # uints
+    3: "i", 5: "i", 6: "i", 7: "i",                  # ints
+    9: "b",                                          # bool
+}
+
+# ops whose output dtype equals their first input's dtype (sufficient for
+# deciding Cast transparency; anything not listed propagates "unknown")
+_DTYPE_PRESERVING = frozenset(
+    "Add Sub Mul Div Pow Sqrt Exp Log Neg Abs Erf Tanh Sigmoid Relu Elu Gelu "
+    "LeakyRelu Softplus Softmax LogSoftmax MatMul Gemm Conv ConvTranspose "
+    "Transpose Reshape Flatten Squeeze Unsqueeze Expand Concat Slice Split "
+    "Gather GatherElements Pad Tile Identity Dropout ReduceMean ReduceSum "
+    "ReduceMax ReduceMin Clip Min Max Mean Sum LayerNormalization "
+    "InstanceNormalization BatchNormalization AveragePool MaxPool "
+    "GlobalAveragePool Resize CumSum Einsum Mod Sin Cos Round Floor Ceil "
+    "Sign Reciprocal HardSigmoid HardSwish Selu Celu PRelu Softsign Atan "
+    "Asin Acos Sinh Cosh Atanh Asinh Acosh ReduceProd ReduceL1 ReduceL2 "
+    "ReduceLogSum ReduceLogSumExp GatherND ScatterND DepthToSpace "
+    "SpaceToDepth Trilu ReverseSequence".split()
+)
+_INT_OUT_OPS = frozenset("Shape Size ArgMax ArgMin NonZero".split())
+_BOOL_OUT_OPS = frozenset(
+    "Equal Greater Less GreaterOrEqual LessOrEqual Not And Or Xor IsNaN IsInf".split()
+)
+
+
+def _infer_dtype_kinds(model: dict) -> dict:
+    """One forward pass of conservative dtype-kind inference ('f'/'i'/'u'/'b'
+    or absent = unknown) over the topologically ordered node list.  Graph
+    inputs are unknown (the wire format carries no dtype here), so a Cast fed
+    directly by a graph input is kept rather than spliced."""
+    kinds: dict[str, str] = {
+        name: arr.dtype.kind for name, arr in model["initializers"].items()
+    }
+    for name, et in model.get("input_types", {}).items():
+        k = _ONNX_TYPE_KIND.get(int(et))
+        if k is not None:
+            kinds[name] = k
+    for n in model["nodes"]:
+        op = n["op_type"]
+        out_kind = None
+        if op == "Cast":
+            out_kind = _ONNX_TYPE_KIND.get(int(n["attrs"].get("to", 0)))
+        elif op in _INT_OUT_OPS:
+            out_kind = "i"
+        elif op in _BOOL_OUT_OPS:
+            out_kind = "b"
+        elif op == "Where" and len(n["input"]) > 1:
+            out_kind = kinds.get(n["input"][1])
+        elif op in _DTYPE_PRESERVING and n["input"]:
+            out_kind = kinds.get(n["input"][0])
+        if out_kind is not None:
+            for o in n["output"]:
+                if o:
+                    kinds[o] = out_kind
+    return kinds
+
 
 def simplify_graph(model: dict) -> dict:
     """Splice out value-preserving plumbing nodes torch exports sprinkle in:
-    Identity, inference-mode Dropout, and float->float Cast.  Returns a new
-    model dict whose nodes reference the spliced-through names directly, so
-    structural pattern matching (bias_after, LN fusion) is not broken by an
-    Identity sitting between a MatMul and its bias Add.
+    Identity, inference-mode Dropout, and float->float Cast (a Cast is only
+    treated as float->float when the source dtype is provably float via
+    forward dtype inference — an int->float Cast must stay, or downstream
+    arithmetic would truncate).  Returns a new model dict whose nodes
+    reference the spliced-through names directly, so structural pattern
+    matching (bias_after, LN fusion) is not broken by an Identity sitting
+    between a MatMul and its bias Add.
 
     Name-rewrite only — never changes arithmetic; both the structural
     converter and the numpy executor accept the simplified graph.
     """
+    dtype_kinds = _infer_dtype_kinds(model)
     # names whose value is actually read downstream (consumers + graph outs):
     # a Dropout is only value-preserving on output[0]; if its mask output is
     # consumed, splicing would hand the consumer activations instead of a
@@ -71,7 +135,10 @@ def simplify_graph(model: dict) -> dict:
     for n in model["nodes"]:
         op = n["op_type"]
         transparent = op in _TRANSPARENT_OPS or (
-            op == "Cast" and int(n["attrs"].get("to", 0)) in _FLOAT_ONNX_TYPES
+            op == "Cast"
+            and int(n["attrs"].get("to", 0)) in _FLOAT_ONNX_TYPES
+            and bool(n["input"])
+            and dtype_kinds.get(n["input"][0]) == "f"
         )
         if transparent and any(o in used for o in n["output"][1:]):
             transparent = False  # secondary output (e.g. Dropout mask) is read

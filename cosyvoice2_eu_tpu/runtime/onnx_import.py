@@ -189,6 +189,19 @@ def _value_info_name(buf: bytes) -> str:
     return ""
 
 
+def _value_info_elem_type(buf: bytes) -> int:
+    """TensorProto.DataType of a ValueInfoProto, or 0 when absent.
+    ValueInfoProto.type = 2 -> TypeProto.tensor_type = 1 -> elem_type = 1."""
+    for field, wtype, val in _fields(buf):
+        if field == 2 and wtype == 2:  # TypeProto
+            for f2, w2, v2 in _fields(val):
+                if f2 == 1 and w2 == 2:  # TypeProto.Tensor
+                    for f3, w3, v3 in _fields(v2):
+                        if f3 == 1 and w3 == 0:  # elem_type
+                            return int(v3)
+    return 0
+
+
 def load_onnx(path: str) -> dict:
     """Returns {'initializers': {name: ndarray}, 'nodes': [node dicts],
     'inputs': [names], 'outputs': [names]} (graph inputs minus initializers
@@ -203,6 +216,7 @@ def load_onnx(path: str) -> dict:
     assert graph is not None, "no GraphProto found (field 7)"
     initializers, nodes = {}, []
     inputs, outputs = [], []
+    input_types: dict[str, int] = {}
     for field, wtype, val in _fields(graph):
         if field == 5 and wtype == 2:
             name, arr = _parse_tensor(val)
@@ -210,7 +224,9 @@ def load_onnx(path: str) -> dict:
         elif field == 1 and wtype == 2:
             nodes.append(_parse_node(val))
         elif field == 11 and wtype == 2:
-            inputs.append(_value_info_name(val))
+            name = _value_info_name(val)
+            inputs.append(name)
+            input_types[name] = _value_info_elem_type(val)
         elif field == 12 and wtype == 2:
             outputs.append(_value_info_name(val))
     inputs = [n for n in inputs if n not in initializers]
@@ -219,4 +235,7 @@ def load_onnx(path: str) -> dict:
         "nodes": nodes,
         "inputs": inputs,
         "outputs": outputs,
+        # graph-input TensorProto.DataType by name (0 = unknown); used by
+        # simplify_graph's dtype inference to judge Cast transparency
+        "input_types": {k: v for k, v in input_types.items() if k in inputs},
     }

@@ -101,11 +101,20 @@ def node_proto(op_type: str, inputs, outputs, name: str = "", **attrs) -> bytes:
     return out
 
 
-def _value_info(name: str) -> bytes:
-    return _len_field(1, name.encode())
+def _value_info(name: str, elem_type: int = 0) -> bytes:
+    out = _len_field(1, name.encode())
+    if elem_type:
+        # ValueInfoProto.type(2) -> TypeProto.tensor_type(1) -> elem_type(1)
+        tensor = _int_field(1, elem_type)
+        out += _len_field(2, _len_field(1, tensor))
+    return out
 
 
-def model_bytes(nodes: list[bytes], initializers: dict, inputs, outputs) -> bytes:
+def model_bytes(nodes: list[bytes], initializers: dict, inputs, outputs,
+                input_types: dict | None = None) -> bytes:
+    """input_types: name -> ONNX TensorProto.DataType for graph inputs
+    (real exporters always emit this; default float32 like the speech
+    frontends' mel/fbank feeds)."""
     g = b""
     for n in nodes:
         g += _len_field(1, n)
@@ -113,7 +122,7 @@ def model_bytes(nodes: list[bytes], initializers: dict, inputs, outputs) -> byte
     for name, arr in initializers.items():
         g += _len_field(5, tensor_proto(name, np.asarray(arr)))
     for i in inputs:
-        g += _len_field(11, _value_info(i))
+        g += _len_field(11, _value_info(i, (input_types or {}).get(i, 1)))
     for o in outputs:
         g += _len_field(12, _value_info(o))
     m = _int_field(1, 8)  # ir_version
@@ -144,7 +153,9 @@ class GraphBuilder:
         self.nodes.append(node_proto(op, inputs, outs, **attrs))
         return outs[0] if n_out == 1 else outs
 
-    def save(self, path: str, inputs, outputs) -> str:
+    def save(self, path: str, inputs, outputs,
+             input_types: dict | None = None) -> str:
         with open(path, "wb") as f:
-            f.write(model_bytes(self.nodes, self.inits, inputs, outputs))
+            f.write(model_bytes(self.nodes, self.inits, inputs, outputs,
+                                input_types))
         return path

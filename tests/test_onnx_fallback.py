@@ -77,6 +77,34 @@ def test_simplify_graph_splices_plumbing(tmp_path):
     np.testing.assert_array_equal(got, ref)
 
 
+def test_simplify_keeps_int_to_float_cast(tmp_path):
+    """Shape -> Cast(FLOAT) -> Div(x, 2.0) — the common torch-export pattern:
+    the Cast's TARGET is float but its SOURCE is int64, so splicing it would
+    hand run_graph two integer operands and truncate 3/2 -> 1.  simplify must
+    keep it (dtype inference, not target-type alone, decides transparency)."""
+    g = GraphBuilder()
+    shp = g.add("Shape", ["x"])                      # [1, 3] int64
+    cst = g.add("Cast", [shp], to=1)                 # -> float32
+    half = g.init(np.asarray(2.0, np.float32), "half")
+    out = g.add("Div", [cst, half])
+    path = g.save(tmp_path / "m.onnx", ["x"], [out])
+    model = load_onnx(path)
+    simp = simplify_graph(model)
+    assert sum(n["op_type"] == "Cast" for n in simp["nodes"]) == 1
+    x = np.zeros((1, 3), np.float32)
+    res = run_graph(simp, {"x": x})[0]
+    np.testing.assert_allclose(np.asarray(res), [0.5, 1.5])
+
+    # and a genuinely float->float Cast in the same graph IS spliced
+    g2 = GraphBuilder()
+    c1 = g2.add("Cast", ["x"], to=1)                 # f32 -> f32 (input typed)
+    two = g2.init(np.asarray(2.0, np.float32), "two")
+    out2 = g2.add("Mul", [c1, two])
+    p2 = g2.save(tmp_path / "m2.onnx", ["x"], [out2])
+    simp2 = simplify_graph(load_onnx(p2))
+    assert sum(n["op_type"] == "Cast" for n in simp2["nodes"]) == 0
+
+
 def test_convert_survives_perturbed_graph(tmp_path):
     """Identity/Cast plumbing + renamed nodes: structural conversion still
     yields token-exact output (the perturbed graph is its own ground truth)."""
