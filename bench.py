@@ -57,17 +57,12 @@ def _bench_config(cosy):
 
 
 def make_prompt(cfg, rng: np.random.Generator):
-    from cosyvoice2_eu_tpu.runtime.model import PromptInputs
+    # shared with runtime/warmup.py so the shipped AOT store precompiles
+    # exactly the programs this bench measures
+    from cosyvoice2_eu_tpu.utils.synthetic import synthetic_prompt
 
     n_sp = 6 if os.environ.get("COSY_BENCH_TINY") == "1" else 150  # 6 s prompt at 25 tokens/s
-    return PromptInputs(
-        text_tokens=rng.integers(100, 50000, 30).astype(np.int32),  # ~30-token sentence
-        prompt_text_tokens=rng.integers(100, 50000, 12).astype(np.int32),
-        llm_prompt_speech_tokens=rng.integers(0, cfg.llm.speech_token_size, n_sp).astype(np.int32),
-        flow_prompt_speech_tokens=rng.integers(0, cfg.flow.vocab_size, n_sp).astype(np.int32),
-        prompt_feat=(rng.standard_normal((n_sp * 2, cfg.flow.output_size)) * 0.5 - 4.0).astype(np.float32),
-        embedding=rng.standard_normal(cfg.frontend.spk_embed_dim).astype(np.float32),
-    )
+    return synthetic_prompt(cfg, rng, n_sp)  # ~30-token sentence
 
 
 def _force(out):
@@ -500,6 +495,10 @@ def main():
                     results.update(json.load(f))
             elif phase == "main":
                 raise SystemExit(f"bench phase {phase} failed (rc={proc.returncode})")
+            else:
+                # a failed auxiliary phase must not masquerade as a clean run
+                # with the metric silently absent — record the failure
+                results[f"{phase}_error"] = f"rc={proc.returncode}"
 
     print(json.dumps(results))
 

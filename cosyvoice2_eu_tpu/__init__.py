@@ -324,6 +324,7 @@ def load(
     compute_dtype="bfloat16",
     lm_quant: Optional[str] = None,
     params: Optional[dict] = None,
+    tp: int = 0,
 ) -> Cosy2EU:
     """Load the model once and reuse for multiple in-memory calls.
 
@@ -336,7 +337,9 @@ def load(
     With config= and no model_dir a random-initialized model is built
     (smoke tests / benchmarking shapes).  backbone selects the LM backbone
     (blanken | hf:<id> | local:<path>), mirroring the reference CLI
-    (standalone_infer cli.py:64).  params= injects an already-converted
+    (standalone_infer cli.py:64).  tp=N shards the LM weights
+    tensor-parallel over the first N devices for multi-chip serving
+    (parallel/tp.py).  params= injects an already-converted
     {"llm","flow","hift"} pytree (host numpy or device arrays) directly —
     the bring-your-own-weights path (e.g. loaded from a pickle/orbax dump);
     it skips both checkpoint conversion and random init.
@@ -445,7 +448,7 @@ def load(
         compute_dtype = None if compute_dtype in ("float32", "none") else getattr(jnp, compute_dtype)
     model = TTSModel(
         cfg, params, seed=seed, compute_dtype=compute_dtype, lm_quant=lm_quant,
-        use_bistream=use_bistream,
+        use_bistream=use_bistream, tp=tp,
     )
     frontend = Frontend(
         cfg,

@@ -17,6 +17,7 @@ TPU-native re-design of the reference Qwen2LM
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -376,6 +377,27 @@ def bs_decode(
     return st, out, n_new, nfi, stop
 
 
+@functools.lru_cache(maxsize=8)
+def _bistream_jits(cfg: LMConfig, chunk_capacity: int):
+    """One jitted extend/decode pair per (config, capacity), shared across
+    lm_inference_bistream calls: a fresh jax.jit wrapper per call would
+    re-trace and re-lower the 0.5B decode program on EVERY streaming-text
+    request (tens of seconds of host time even with compiles cached).
+
+    Params are ARGUMENTS, never closures: closed-over params inline as HLO
+    constants (gigabytes in the compile request -> the remote compile
+    service drops the connection, minutes of lowering)."""
+    extend_j = jax.jit(
+        lambda pp, st, ids, src, n: bs_extend(pp, cfg, st, ids, src, n)
+    )
+    decode_j = jax.jit(
+        lambda pp, st, nfi, allow, cap: bs_decode(
+            pp, cfg, st, chunk_capacity, nfi, allow, cap
+        )
+    )
+    return extend_j, decode_j
+
+
 def lm_inference_bistream(
     params,
     cfg: LMConfig,
@@ -398,17 +420,7 @@ def lm_inference_bistream(
 
     mt, ms = cfg.mix_ratio
 
-    # params are ARGUMENTS, never closures: closed-over params inline as HLO
-    # constants (gigabytes in the compile request -> the remote compile
-    # service drops the connection, minutes of lowering)
-    extend_j = jax.jit(
-        lambda pp, st, ids, src, n: bs_extend(pp, cfg, st, ids, src, n)
-    )
-    decode_j = jax.jit(
-        lambda pp, st, nfi, allow, cap: bs_decode(
-            pp, cfg, st, chunk_capacity, nfi, allow, cap
-        )
-    )
+    extend_j, decode_j = _bistream_jits(cfg, chunk_capacity)
     extend = lambda st, ids, src, n: extend_j(params, st, ids, src, n)
     decode = lambda st, nfi, allow, cap: decode_j(params, st, nfi, allow, cap)
 

@@ -62,7 +62,7 @@ class TTSModel:
                  compute_dtype=jnp.bfloat16, lm_quant: str | None = None,
                  cached_stream: bool = True, stream_max_tokens: int = 768,
                  use_bistream: bool = False, stream_rollover: bool = True,
-                 stream_rollover_window: int = 200):
+                 stream_rollover_window: int = 200, tp: int = 0):
         """cached_stream: use the O(T)-per-chunk cached flow for streaming
         (models/flow_streaming.py) instead of the reference's full-prefix
         recompute.  Exact-equality with the recompute is test-verified; the
@@ -70,7 +70,11 @@ class TTSModel:
 
         use_bistream: route LM decode through the fill-token bistream protocol
         — the reference does this automatically for non-BlankEN HF backbones
-        (llm.py:575-609); set by load(backbone=...)."""
+        (llm.py:575-609); set by load(backbone=...).
+
+        tp: shard the LM weights tensor-parallel over the first `tp` devices
+        (parallel/tp.py) — the bandwidth-bound decode reads 1/tp of the bytes
+        per chip; GSPMD partitions the unchanged decode programs."""
         self.cfg = cfg
         self.cached_stream = cached_stream
         self.use_bistream = use_bistream
@@ -106,6 +110,12 @@ class TTSModel:
             from cosyvoice2_eu_tpu.utils.params import quantize_lm_params
 
             params = dict(params, llm=quantize_lm_params(params["llm"]))
+        if tp and tp > 1:
+            from cosyvoice2_eu_tpu.parallel.tp import make_tp_mesh, shard_lm_tp
+
+            params = dict(
+                params, llm=shard_lm_tp(params["llm"], make_tp_mesh(tp))
+            )
         self.params = params
         self.seed = seed
         self._rng = jax.random.key(seed)
@@ -513,11 +523,25 @@ class TTSModel:
         self, token_gen, prompt: PromptInputs, stream: bool, speed: float = 1.0,
     ) -> Generator[np.ndarray, None, None]:
         """Vocode an incremental speech-token stream on the reference's hop
-        schedule (cli/model.py:353-381), synchronously (no producer thread)."""
+        schedule (cli/model.py:353-381), synchronously (no producer thread).
+
+        With cached_stream on, chunks run through the O(1)-per-chunk cached
+        flow (the same StreamSession state machine the serving engine uses);
+        otherwise each chunk recomputes the full prefix like the reference."""
         session: dict = {"hift_cache": None}
         if not stream:
             tokens = np.fromiter(token_gen, np.int32)
             yield self._token2wav(tokens, prompt, 0, session, False, True, speed)
+            return
+        if self.cached_stream:
+            from cosyvoice2_eu_tpu.serving.engine import StreamSession
+
+            sess = StreamSession(self, prompt, speed=speed)
+            toks: list[int] = []
+            for t in token_gen:
+                toks.append(int(t))
+                yield from sess.feed(np.asarray(toks, np.int32), False)
+            yield from sess.feed(np.asarray(toks, np.int32), True)
             return
         hop, la = self.token_hop_len, self.pre_lookahead_len
         n_prompt = len(prompt.flow_prompt_speech_tokens)

@@ -27,19 +27,11 @@ logger = logging.getLogger(__name__)
 
 
 def _prompt(cfg, rng: np.random.Generator, n_sp: int):
-    from cosyvoice2_eu_tpu.runtime.model import PromptInputs
+    # the SAME recipe bench.py measures with (utils/synthetic.py), so the
+    # store precompiles exactly the programs production/bench will request
+    from cosyvoice2_eu_tpu.utils.synthetic import synthetic_prompt
 
-    return PromptInputs(
-        text_tokens=rng.integers(100, 1000, 30).astype(np.int32),
-        prompt_text_tokens=rng.integers(100, 1000, 12).astype(np.int32),
-        llm_prompt_speech_tokens=rng.integers(
-            0, cfg.llm.speech_token_size, n_sp).astype(np.int32),
-        flow_prompt_speech_tokens=rng.integers(
-            0, cfg.flow.vocab_size, n_sp).astype(np.int32),
-        prompt_feat=(rng.standard_normal((n_sp * 2, cfg.flow.output_size)) * 0.5
-                     ).astype(np.float32),
-        embedding=rng.standard_normal(cfg.frontend.spk_embed_dim).astype(np.float32),
-    )
+    return synthetic_prompt(cfg, rng, n_sp)
 
 
 def warmup_programs(model, prompt_seconds=(3, 6, 10), batch: int = 0) -> dict:
