@@ -68,6 +68,37 @@ def cache_dir() -> str | None:
     return val
 
 
+_pruned = False
+
+
+def _prune_stale(d: str) -> None:
+    """Drop entries salted by OTHER source versions from the default scratch
+    store — every source edit changes the salt, so without pruning /tmp/cosy_aot
+    grows by a full program set per edit (gigabytes).  Only the implicit
+    scratch dir is pruned; an explicitly-pointed store (COSY_AOT_CACHE or a
+    shipped <model_dir>/aot_store) may serve several versions and is left
+    alone."""
+    global _pruned
+    if _pruned:
+        return
+    _pruned = True
+    if os.environ.get("COSY_AOT_CACHE") or _cache_dir_override:
+        return
+    salt = _source_salt()
+    try:
+        for fname in os.listdir(d):
+            if not fname.endswith(".aot"):
+                continue
+            parts = fname[: -len(".aot")].rsplit("-", 2)
+            if len(parts) == 3 and parts[1] != salt:
+                try:
+                    os.remove(os.path.join(d, fname))
+                except OSError:
+                    pass
+    except OSError:
+        pass
+
+
 def _arg_sig(args) -> str:
     leaves, treedef = jax.tree.flatten(args)
     parts = [str(treedef)]
@@ -134,6 +165,7 @@ class AotFunction:
 
                 payload, in_tree, out_tree = serialize(compiled)
                 os.makedirs(os.path.dirname(path), exist_ok=True)
+                _prune_stale(os.path.dirname(path))
                 tmp = path + f".tmp{os.getpid()}"
                 with open(tmp, "wb") as f:
                     pickle.dump((payload, in_tree, out_tree), f)

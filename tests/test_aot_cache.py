@@ -103,3 +103,29 @@ def test_load_picks_up_shipped_store(monkeypatch, tmp_path):
         pass
     assert aot_cache.cache_dir() == str(store)
     aot_cache.set_cache_dir(None)
+
+
+def test_prune_stale_salts(monkeypatch, tmp_path):
+    """The implicit scratch store drops entries from other source versions
+    (every edit changes the salt; without pruning the store grows by a full
+    program set per edit).  Explicit stores are never pruned."""
+    from cosyvoice2_eu_tpu.runtime import aot_cache
+
+    monkeypatch.delenv("COSY_AOT_CACHE", raising=False)
+    monkeypatch.setattr(aot_cache, "_cache_dir_override", None)
+    salt = aot_cache._source_salt()
+    cur = tmp_path / f"lm-TPU_v5-{salt}-{'a' * 24}.aot"
+    stale = tmp_path / f"lm-TPU_v5-{'0' * 16}-{'b' * 24}.aot"
+    other = tmp_path / "notes.txt"
+    for f in (cur, stale, other):
+        f.touch()
+    monkeypatch.setattr(aot_cache, "_pruned", False)
+    aot_cache._prune_stale(str(tmp_path))
+    assert cur.exists() and other.exists() and not stale.exists()
+
+    # explicit store: untouched
+    stale.touch()
+    monkeypatch.setattr(aot_cache, "_pruned", False)
+    monkeypatch.setattr(aot_cache, "_cache_dir_override", str(tmp_path))
+    aot_cache._prune_stale(str(tmp_path))
+    assert stale.exists()
