@@ -37,6 +37,12 @@ def resolve_checkpoint_files(
     ``final`` loads {llm,flow,hift}.pt; otherwise components named in
     ``setting`` with a run_id load ``{key}-{run_id}.pt`` and the rest load
     ``{key}-original.pt``.
+
+    Beyond the reference: when the ``.pt`` file is absent but a native
+    checkpoint directory of the same stem exists (orbax pytree written by
+    ``tools/extract_for_inference.py`` from this framework's own training
+    runs), that directory is resolved instead — the train->serve loop closes
+    without ever round-tripping through torch.
     """
     if final:
         tokens = {"llm", "flow", "hifigan"}
@@ -57,7 +63,10 @@ def resolve_checkpoint_files(
             suffix = "" if final else f"-{run_id}"
         else:
             suffix = "-original"
-        chosen[key] = os.path.join(model_dir, f"{key}{suffix}.pt")
+        path = os.path.join(model_dir, f"{key}{suffix}.pt")
+        if not os.path.exists(path) and os.path.isdir(path[: -len(".pt")]):
+            path = path[: -len(".pt")]  # native checkpoint dir
+        chosen[key] = path
     return chosen
 
 
@@ -407,10 +416,19 @@ def load(
             model_dir, setting, llm_run_id, flow_run_id, hifigan_run_id,
             final=(True if final is None else final),
         )
+
+        def _component(key, convert, sub_cfg):
+            path = files[key]
+            if os.path.isdir(path):  # native pytree (already in our layout)
+                from cosyvoice2_eu_tpu.runtime.checkpoint import load_pytree
+
+                return load_pytree(path)
+            return convert(load_torch_state(path), sub_cfg)
+
         params = {
-            "llm": convert_llm(load_torch_state(files["llm"]), cfg.llm),
-            "flow": convert_flow(load_torch_state(files["flow"]), cfg.flow),
-            "hift": convert_hift(load_torch_state(files["hift"]), cfg.hift),
+            "llm": _component("llm", convert_llm, cfg.llm),
+            "flow": _component("flow", convert_flow, cfg.flow),
+            "hift": _component("hift", convert_hift, cfg.hift),
         }
         tokenizer = get_tokenizer(bb_tokenizer_dir or model_dir)
     else:

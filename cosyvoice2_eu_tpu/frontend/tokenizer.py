@@ -95,6 +95,21 @@ def get_tokenizer(token_path: str = "", skip_special_tokens: bool = True):
             )
 
             return get_legacy_tokenizer(os.path.join(token_path, ranks[0]))
+        if not any(
+            os.path.exists(os.path.join(token_path, f))
+            for f in ("tokenizer.json", "tokenizer_config.json", "vocab.json")
+        ):
+            # native-checkpoint-only model dir without the HF tokenizer
+            # sidecars: degrade to the byte tokenizer instead of dying in
+            # AutoTokenizer (the reference ships tokenizer files alongside
+            # weights; ours may hold orbax dirs only)
+            import logging
+
+            logging.warning(
+                "no tokenizer files in %s; using byte-fallback tokenizer",
+                token_path,
+            )
+            return ByteFallbackTokenizer()
     elif token_path.endswith(".tiktoken"):
         from cosyvoice2_eu_tpu.frontend.legacy_tokenizer import (
             get_legacy_tokenizer,

@@ -10,6 +10,9 @@
 #  4  train the HiFT vocoder (GAN)
 #  5  average top-5 checkpoints by CV loss and export finals
 #  6  evaluate (RTF + objective metrics)
+#  7  export for inference: extract trained checkpoints into the model dir
+#     (run-id naming matrix) + precompile the shippable AOT store
+#  8  upload the model dir to Hugging Face (reference run.sh stage 8)
 #
 # Knobs: FINETUNE=lora|dpo adds the fine-tuning mode to stage 2 (DPO needs
 # reject_speech_token columns in the parquet); WANDB=1 logs to W&B; multi-host
@@ -19,6 +22,9 @@ set -euo pipefail
 
 stage=${1:-0}
 stop_stage=${2:-6}
+model_dir=${MODEL_DIR:-models/cosyvoice2-eu}
+hours=${HOURS:-1500}
+backbone_tag=${BACKBONE_TAG:-blanken}
 data_root=${DATA_ROOT:-data/mls}
 exp=${EXP:-exp}
 lang=${LANG_CODE:-fr}
@@ -105,4 +111,27 @@ if [ "$stage" -le 6 ] && [ "$stop_stage" -ge 6 ]; then
     --config examples/eval_config.yaml \
     --dataset "$data_root/test" --language "$lang"
   python -m cosyvoice2_eu_tpu.eval.report --results-dir eval_results --language "$lang"
+fi
+
+if [ "$stage" -le 7 ] && [ "$stop_stage" -ge 7 ]; then
+  echo "stage 7: export trained checkpoints for inference + AOT warmup store"
+  lang_upper=$(echo "$lang" | tr '[:lower:]' '[:upper:]')
+  run_id="$hours-averaged-$backbone_tag-$lang_upper"
+  python tools/extract_for_inference.py --exp-dir "$exp/llm-$lang" \
+    --component llm --tag "averaged-$lang" --out-dir "$model_dir" --run-id "$run_id"
+  python tools/extract_for_inference.py --exp-dir "$exp/flow-$lang" \
+    --component flow --tag "averaged-$lang" --out-dir "$model_dir" --run-id "$run_id"
+  # best GAN epoch -> hift (generator subtree only)
+  python tools/extract_for_inference.py --exp-dir "$exp/hift-$lang" \
+    --component hifigan --out-dir "$model_dir" --run-id "$run_id" || true
+  # precompile + package the AOT executable store with the model so a fresh
+  # machine's first audio skips the cold XLA compile (cli.py warmup)
+  python -m cosyvoice2_eu_tpu.cli warmup --model-dir "$model_dir" || true
+fi
+
+if [ "$stage" -le 8 ] && [ "$stop_stage" -ge 8 ]; then
+  echo "stage 8: upload trained checkpoints to Hugging Face"
+  python tools/upload_weights.py --exp_dir "$exp" \
+    --models "llm-$lang" "flow-$lang" "hift-$lang" \
+    --hf_repo_id "${HF_REPO:-local/cosyvoice2-eu-tpu}" ${HF_DRY_RUN:+--dry-run}
 fi

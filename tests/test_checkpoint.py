@@ -6,6 +6,8 @@ hifigan/generator.py}) and checks the converters consume every key and place
 arrays correctly.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -233,3 +235,74 @@ def test_convert_hift_with_weight_norm_keys():
     got_paths = {jax.tree_util.keystr(p) for p, _ in jax.tree.flatten_with_path(params)[0]}
     want_paths = {jax.tree_util.keystr(p) for p, _ in jax.tree.flatten_with_path(init_params)[0]}
     assert got_paths == want_paths
+
+
+def test_native_extract_and_load_roundtrip(tmp_path):
+    """Train->serve loop without torch: training checkpoints (orbax pytrees,
+    train/executor.py) extracted by tools/extract_for_inference.py into a
+    model dir are resolved by the run-id naming matrix and loaded by load()
+    exactly like the reference's .pt files (cli/cosyvoice.py:239-268 +
+    extract_model_for_inference.py analog)."""
+    import jax
+
+    import cosyvoice2_eu_tpu as cosy
+    from cosyvoice2_eu_tpu.models.flow import init_flow
+    from cosyvoice2_eu_tpu.models.hift import init_hift
+    from cosyvoice2_eu_tpu.models.llm import init_lm
+    from cosyvoice2_eu_tpu.train.executor import save_checkpoint
+    from tools.extract_for_inference import extract
+
+    cfg = tiny_test_config()
+    exp = {k: str(tmp_path / f"{k}-fr") for k in ("llm", "flow", "hift")}
+    for d in exp.values():
+        os.makedirs(d)
+    # llm/flow: two checkpoints each, second is better by cv_loss
+    save_checkpoint(exp["llm"], "epoch_0_step_5",
+                    init_lm(jax.random.key(9), cfg.llm), {"cv_loss": 2.0})
+    save_checkpoint(exp["llm"], "epoch_1_step_10",
+                    init_lm(jax.random.key(0), cfg.llm), {"cv_loss": 1.0})
+    save_checkpoint(exp["flow"], "averaged-fr",
+                    init_flow(jax.random.key(1), cfg.flow), {"cv_loss": 0.5})
+    # hifigan: GAN 'whole' checkpoint ({generator, discriminator}), no cv_loss
+    save_checkpoint(
+        exp["hift"], "epoch_0_whole",
+        {"generator": init_hift(jax.random.key(2), cfg.hift),
+         "discriminator": {"dummy": np.zeros((2, 2), np.float32)}},
+        {"epoch": 0},
+    )
+
+    model_dir = tmp_path / "model"
+    run_id = "42-averaged-blanken-FR"
+    p1 = extract(exp["llm"], "llm", str(model_dir), run_id=run_id)  # best cv
+    assert p1.endswith(f"llm-{run_id}")
+    extract(exp["flow"], "flow", str(model_dir), tag="averaged-fr", run_id=run_id)
+    p3 = extract(exp["hift"], "hifigan", str(model_dir), run_id=run_id)  # latest
+    assert p3.endswith(f"hift-{run_id}")
+
+    files = cosy.resolve_checkpoint_files(
+        str(model_dir), "llm_flow_hifigan",
+        llm_run_id=run_id, flow_run_id=run_id, hifigan_run_id=run_id,
+        final=False,
+    )
+    assert all(os.path.isdir(p) for p in files.values()), files
+
+    api = cosy.load(
+        model_dir=str(model_dir), config=cfg, seed=0, final=False,
+        llm_run_id=run_id, flow_run_id=run_id, hifigan_run_id=run_id,
+        compute_dtype="float32",
+    )
+    # extracted llm == best checkpoint (epoch_1_step_10, seeded 0)
+    want = init_lm(jax.random.key(0), cfg.llm)
+    got = api._model.params["llm"]
+    a = jax.tree.leaves(want)[0]
+    b = jax.tree.leaves(got)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=0)
+    # hift params carry no GAN wrapper
+    assert "generator" not in api._model.params["hift"]
+
+    rng = np.random.default_rng(0)
+    from cosyvoice2_eu_tpu.utils.synthetic import synthetic_prompt
+
+    prompt = synthetic_prompt(cfg, rng, 6)
+    wav = np.concatenate(list(api._model.tts(prompt, stream=False)))
+    assert wav.size > 0 and np.isfinite(wav).all()
