@@ -144,13 +144,52 @@ class StreamSession:
             remaining = len(gen_tokens) - self.emitted
             cap_hit = self.t_fed + self.next_feed > model.stream_max_tokens
             if remaining > 0 or self.session["hift_cache"] is not None or cap_hit:
-                out.append(
-                    model._token2wav(
-                        np.asarray(gen_tokens, np.int32), self.prompt,
-                        self.emitted, self.session, False, True, self.speed,
-                    )
-                )
+                out.extend(self._finalize(np.asarray(gen_tokens, np.int32)))
             self.done = True
+        return out
+
+    def _finalize(self, gen: np.ndarray) -> list:
+        """Flush the tail through the reference finalize recompute, windowing
+        the context so long utterances never overflow the largest flow bucket
+        (same semantics as runtime/model.py _wav_from_token_gen:546-573):
+        oversized remainders are vocoded in hop-sized streaming chunks over a
+        [prompt ++ recent-window] context, then one window-bounded final
+        chunk.  Mirrors reference unbounded streaming, cli/model.py:336-381."""
+        from cosyvoice2_eu_tpu.runtime.model import FLOW_TOKEN_BUCKETS
+
+        model = self.model
+        hop, la = self.hop, self.la
+        cap = FLOW_TOKEN_BUCKETS[-1]
+        window = max(hop, min(model.stream_rollover_window,
+                              cap - self.P - 2 * (hop + la)))
+        token_offset = self.emitted
+        base = 0
+        out = []
+        # drain an oversized remainder in streaming chunks until the final
+        # recompute (prompt + window + remainder) fits the largest bucket
+        while len(gen) - token_offset > max(cap - self.P - window, 0):
+            this_hop = hop + self.prompt_pad if token_offset == 0 else hop
+            if len(gen) - token_offset < this_hop + la:
+                break  # too short for a full stream chunk; final handles it
+            rel = token_offset - base
+            if self.P + rel + this_hop + la > cap and rel > window:
+                base = token_offset - window
+                rel = window
+            chunk = gen[base : token_offset + this_hop + la]
+            out.append(
+                model._token2wav(chunk, self.prompt, rel, self.session,
+                                 True, False)
+            )
+            token_offset += this_hop
+        if self.P + (len(gen) - base) > cap:
+            base = max(base, token_offset - window)
+            over = self.P + (len(gen) - base) - cap
+            if over > 0:  # prompt so long even the hop-window overflows
+                base = min(token_offset, base + over)
+        out.append(
+            model._token2wav(gen[base:], self.prompt, token_offset - base,
+                             self.session, False, True, self.speed)
+        )
         return out
 
 

@@ -239,3 +239,52 @@ def test_engine_stages_while_slots_busy(model):
         assert saw_staged, "no request was staged while a slot was busy"
     finally:
         engine.close()
+
+
+def test_engine_long_utterance_past_flow_bucket(model, monkeypatch):
+    """An engine request whose prompt+generated tokens exceed the largest
+    flow bucket must stream to completion via the windowed finalize instead
+    of crashing with bucket-overflow (VERDICT r3 missing #2; reference
+    streams long utterances unbounded, cli/model.py:336-381)."""
+    import cosyvoice2_eu_tpu.runtime.model as rtm
+
+    monkeypatch.setattr(rtm, "FLOW_TOKEN_BUCKETS", (64, 128))
+    rng = np.random.default_rng(77)
+    n_sp = 6
+    prompt = PromptInputs(
+        # long text -> min_len pushes generation to the 150-token engine cap
+        text_tokens=rng.integers(2, 200, 90).astype(np.int32),
+        prompt_text_tokens=rng.integers(2, 200, 4).astype(np.int32),
+        llm_prompt_speech_tokens=rng.integers(0, CFG.llm.speech_token_size, n_sp).astype(np.int32),
+        flow_prompt_speech_tokens=rng.integers(0, CFG.flow.vocab_size, n_sp).astype(np.int32),
+        prompt_feat=rng.standard_normal((n_sp * 2, CFG.flow.output_size)).astype(np.float32),
+        embedding=rng.standard_normal(CFG.frontend.spk_embed_dim).astype(np.float32),
+    )
+    engine = TTSEngine(model, n_slots=1, chunk_steps=16, max_cache=256, max_gen=150)
+    try:
+        total = np.concatenate(list(engine.submit(prompt)))
+    finally:
+        engine.close()
+    scale = CFG.hift.upsample_scale * CFG.flow.token_mel_ratio
+    assert np.isfinite(total).all()
+    assert len(total) // scale > 128 - n_sp  # really exceeded the cap
+
+
+def test_stream_session_cap_hit_drains_in_chunks(model, monkeypatch):
+    """When a session hits the cached-flow token cap with a large unvocoded
+    remainder, finalize drains it in hop-sized stream chunks (each within
+    the flow bucket) instead of one overflowing recompute."""
+    import cosyvoice2_eu_tpu.runtime.model as rtm
+    from cosyvoice2_eu_tpu.serving.engine import StreamSession
+
+    monkeypatch.setattr(rtm, "FLOW_TOKEN_BUCKETS", (64, 128))
+    monkeypatch.setattr(model, "stream_max_tokens", 48)
+    prompt = _prompt(5)
+    rng = np.random.default_rng(11)
+    tokens = rng.integers(0, CFG.flow.vocab_size, 150).astype(np.int32)
+    sess = StreamSession(model, prompt)
+    chunks = sess.feed(tokens, lm_finished=True)
+    total = np.concatenate(chunks)
+    scale = CFG.hift.upsample_scale * CFG.flow.token_mel_ratio
+    assert len(total) == 150 * scale  # every token vocoded exactly once
+    assert np.isfinite(total).all()
