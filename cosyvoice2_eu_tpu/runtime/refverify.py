@@ -425,6 +425,87 @@ def flow_parity(ref, cfg, token: np.ndarray, prompt_feat: np.ndarray,
     return _report(f"flow.inference(streaming={streaming})", want.numpy(), got)
 
 
+def f0_parity(ref_hift, cfg, mel: np.ndarray) -> dict:
+    """ConvRNNF0Predictor (f0_predictor.py:22) vs f0_predict — the
+    deterministic half of the NSF source path hift_parity skips."""
+    import jax.numpy as jnp
+    import torch
+
+    from cosyvoice2_eu_tpu.models.hift import f0_predict
+    from cosyvoice2_eu_tpu.runtime.checkpoint import convert_hift
+
+    params = convert_hift(state_dict_numpy(ref_hift), cfg)
+    with torch.inference_mode():
+        want = ref_hift.f0_predictor(torch.from_numpy(mel)).numpy()
+    got = np.asarray(f0_predict(params["f0_predictor"], cfg, jnp.asarray(mel)))
+    return _report("hift.f0_predictor", want, got)
+
+
+def token2wav_parity(ref_flow, ref_hift, flow_cfg, hift_cfg, token: np.ndarray,
+                     prompt_feat: np.ndarray, embedding: np.ndarray) -> dict:
+    """COMPOSED chain: the same speech tokens through torch flow+HiFT vs JAX
+    flow+HiFT, waveform tolerance (reference token2wav, cli/model.py:300-334).
+    Covers the seams the per-stage parities miss — prompt-mel slicing and the
+    flow->HiFT handoff.  The NSF sine source is framework-RNG (SineGen uses
+    torch.rand phases, generator.py:109-390), so the torch-generated source
+    is injected into both decodes; f0_parity covers mel->f0 separately."""
+    import jax.numpy as jnp
+    import torch
+
+    from cosyvoice2_eu_tpu.models.flow import flow_inference
+    from cosyvoice2_eu_tpu.models.hift import hift_decode
+    from cosyvoice2_eu_tpu.runtime.checkpoint import convert_flow, convert_hift
+
+    fparams = convert_flow(state_dict_numpy(ref_flow), flow_cfg)
+    hparams = convert_hift(state_dict_numpy(ref_hift), hift_cfg)
+    pm = prompt_feat.shape[1]
+    with torch.inference_mode():
+        # reference flow.inference returns the generated region only
+        # (prompt mel sliced off inside, flow.py:280)
+        mel_ref, _ = ref_flow.inference(
+            token=torch.from_numpy(token),
+            token_len=torch.tensor([token.shape[1]]),
+            prompt_token=torch.zeros(1, 0, dtype=torch.long),
+            prompt_token_len=torch.tensor([0]),
+            prompt_feat=torch.from_numpy(prompt_feat),
+            prompt_feat_len=torch.tensor([pm]),
+            embedding=torch.from_numpy(embedding),
+            streaming=False,
+            finalize=True,
+        )
+        # NSF source exactly as HiFTGenerator.inference (generator.py:571-577)
+        f0 = ref_hift.f0_predictor(mel_ref)
+        s = ref_hift.f0_upsamp(f0[:, None]).transpose(1, 2)
+        s, _, _ = ref_hift.m_source(s)
+        s = s.transpose(1, 2)
+        want = ref_hift.decode(x=mel_ref, s=s).numpy()
+
+    mel_jax = np.asarray(
+        flow_inference(
+            fparams, flow_cfg,
+            jnp.asarray(token), jnp.asarray([token.shape[1]]),
+            jnp.asarray(prompt_feat), jnp.asarray([pm]),
+            jnp.asarray(embedding), streaming=False, finalize=True,
+        )
+    )[:, :, pm:]
+    got = np.asarray(
+        hift_decode(hparams, hift_cfg, jnp.asarray(mel_jax),
+                    jnp.asarray(s.numpy()))
+    )
+    # composed tolerance: per-stage error compounds through 10 Euler steps +
+    # the vocoder's iSTFT, so the bar is perceptual (normalized RMSE), not
+    # the per-stage elementwise one
+    want_f, got_f = want.ravel(), got.ravel()
+    rms = float(np.sqrt(np.mean((want_f - got_f) ** 2)))
+    scale = float(np.sqrt(np.mean(want_f**2))) or 1e-9
+    report = _report("token2wav composed", want, got)
+    report["rel_rms"] = rms / scale
+    report["ok"] = bool(
+        want.shape == got.shape and rms / scale < 2e-2
+    )
+    return report
+
+
 def llm_logits_parity(ref, cfg, text: np.ndarray, speech: np.ndarray) -> dict:
     """Compare prompt-assembly + backbone + llm_decoder logits for one step
     (the deterministic part of Qwen2LM.inference, llm.py:626-694)."""

@@ -240,10 +240,20 @@ class TTSEngine:
         # params are ARGUMENTS, never closures: closed-over params inline as
         # HLO constants (gigabytes in the compile request -> HTTP 413 on the
         # remote compile service, minutes of lowering)
-        self._decode = jax.jit(
-            lambda params, st: llm_mod.slots_decode(params, cfgl, st, chunk_steps),
-            donate_argnums=(1,),
-        )
+        def _decode_with_harvest(params, st):
+            st = llm_mod.slots_decode(params, cfgl, st, chunk_steps)
+            # the harvest is an explicit COPY into fresh buffers: the next
+            # decode dispatch donates the state (including tokens), so the
+            # loop can fetch harvest N while decode N+1 runs on device
+            return st, (jnp.copy(st.tokens), jnp.copy(st.lengths),
+                        jnp.copy(st.finished))
+
+        self._decode = jax.jit(_decode_with_harvest, donate_argnums=(1,))
+        # one-deep decode pipeline (VERDICT r3 next #6): harvest of chunk N
+        # transfers to host while chunk N+1 executes, so engine throughput is
+        # not serialized on the per-chunk device_get RPC round trip
+        self._pending_harvest = None
+        self._harvest_skip: set[int] = set()
         self._prefill_jit = None
         self._insert_jit = None
         from collections import deque
@@ -325,6 +335,8 @@ class TTSEngine:
         )
         req.slot = slot
         self._slots[slot] = req
+        # any in-flight harvest predates this insert; its row is stale
+        self._harvest_skip.add(slot)
 
     def _loop(self):
         try:
@@ -332,6 +344,8 @@ class TTSEngine:
                 self._loop_once()
         except Exception as e:  # backend death: fail everyone, allow restart
             msg = f"engine loop died: {e!r}"
+            self._pending_harvest = None
+            self._harvest_skip.clear()
             for slot, req in enumerate(self._slots):
                 if req is not None:
                     req.failed = msg
@@ -396,6 +410,10 @@ class TTSEngine:
                 self._insert(slot)
         active = [r for r in self._slots if r is not None]
         if not active:
+            # all requests completed: any in-flight speculative harvest
+            # belongs entirely to finished slots — drop it
+            self._pending_harvest = None
+            self._harvest_skip.clear()
             if self._pending.empty() and not self._staged:
                 try:
                     req = self._pending.get(timeout=0.2)
@@ -404,12 +422,22 @@ class TTSEngine:
                     return
             return
 
-        self.state = self._decode(self.model.params["llm"], self.state)
-        tokens, lengths, finished = jax.device_get(
-            (self.state.tokens, self.state.lengths, self.state.finished)
-        )
+        params = self.model.params["llm"]
+        if self._pending_harvest is None:
+            self.state, self._pending_harvest = self._decode(params, self.state)
+        harvest = self._pending_harvest
+        # speculative dispatch of decode N+1 while harvest N transfers and
+        # the sessions vocode chunk N: the device queue stays fed instead of
+        # idling a full RPC round trip per chunk.  Skipped when an admission
+        # is waiting — inserts must land between decode chunks.
+        if not self._staged and self._pending.empty():
+            self.state, self._pending_harvest = self._decode(params, self.state)
+        else:
+            self._pending_harvest = None
+        tokens, lengths, finished = jax.device_get(harvest)
+        skip, self._harvest_skip = self._harvest_skip, set()
         for slot, req in enumerate(self._slots):
-            if req is None:
+            if req is None or slot in skip:
                 continue
             n = int(lengths[slot])
             done = bool(finished[slot])

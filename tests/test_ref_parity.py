@@ -76,6 +76,51 @@ def test_flow_inference_parity(streaming):
     assert report["ok"], report
 
 
+def test_f0_predictor_parity():
+    cfg = tiny_test_config().hift
+    import torch
+
+    torch.manual_seed(8)
+    ref = rv.build_ref_hift(cfg)
+    rng = np.random.default_rng(9)
+    mel = rng.standard_normal((1, cfg.in_channels, 24)).astype(np.float32)
+    report = rv.f0_parity(ref, cfg, mel)
+    assert report["ok"], report
+
+
+def test_token2wav_composed_parity():
+    """Full-chain seam coverage (VERDICT r3 next #7): one set of speech
+    tokens through torch flow+HiFT vs JAX flow+HiFT, waveform tolerance
+    (reference token2wav, cli/model.py:300-334)."""
+    import torch
+
+    flow_cfg = _small_flow_config()
+    hift_cfg = HiFTConfig(
+        in_channels=flow_cfg.output_size,
+        base_channels=32,
+        nb_harmonics=2,
+        upsample_rates=(8, 5, 3),
+        upsample_kernel_sizes=(16, 11, 7),
+        f0_predictor=F0PredictorConfig(
+            in_channels=flow_cfg.output_size, cond_channels=32
+        ),
+    )
+    torch.manual_seed(10)
+    ref_flow = rv.build_ref_flow(flow_cfg)
+    ref_hift = rv.build_ref_hift(hift_cfg)
+    rng = np.random.default_rng(11)
+    n_tok, n_prompt_mel = 16, 8
+    token = rng.integers(0, flow_cfg.vocab_size, (1, n_tok)).astype(np.int64)
+    prompt_feat = (
+        rng.standard_normal((1, n_prompt_mel, flow_cfg.output_size)) * 0.5
+    ).astype(np.float32)
+    embedding = rng.standard_normal((1, flow_cfg.spk_embed_dim)).astype(np.float32)
+    report = rv.token2wav_parity(
+        ref_flow, ref_hift, flow_cfg, hift_cfg, token, prompt_feat, embedding
+    )
+    assert report["ok"], report
+
+
 def test_llm_logits_parity(tmp_path):
     import torch
 

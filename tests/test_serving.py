@@ -138,3 +138,49 @@ def _prompt_wav_bytes_to_array(data: bytes) -> np.ndarray:
     from cosyvoice2_eu_tpu.serving.http_server import _decode_wav_bytes
 
     return _decode_wav_bytes(data)
+
+
+def test_webui_postprocess_prompt():
+    """Prompt hygiene (reference webui.py:46-57): silence trimmed, peak
+    normalized to 0.8, 0.2 s pad appended."""
+    from cosyvoice2_eu_tpu.serving.webui import MAX_VAL, postprocess_prompt
+
+    sr = 16000
+    rng = np.random.default_rng(0)
+    sig = np.concatenate([
+        np.zeros(sr, np.float32),                      # 1 s leading silence
+        (rng.standard_normal(sr) * 2.0).astype(np.float32),  # loud speech
+        np.zeros(sr, np.float32),                      # 1 s trailing silence
+    ])
+    out = postprocess_prompt(sig, sr)
+    # trimmed to ~1 s of speech + 0.2 s pad (frame-quantized)
+    assert len(out) < 1.5 * sr
+    assert abs(np.abs(out).max() - MAX_VAL) < 1e-6
+    assert np.allclose(out[-int(0.2 * sr):], 0.0)
+    # already-quiet audio is not boosted
+    quiet = np.sin(np.linspace(0, 100, sr)).astype(np.float32) * 0.1
+    out2 = postprocess_prompt(quiet, sr)
+    assert np.abs(out2).max() <= 0.1 + 1e-6
+
+
+def test_webui_validate_request():
+    """Mode gating mirrors the reference warnings (webui.py:72-110)."""
+    from cosyvoice2_eu_tpu.serving.webui import MODES, validate_request
+
+    err = lambda ws: [w for w in ws if w.startswith("error:")]
+    # sft: needs a speaker; ignores prompt inputs
+    assert err(validate_request(MODES[0], False, "", "", ""))
+    ws = validate_request(MODES[0], True, "x", "", "spk")
+    assert not err(ws) and any("ignores" in w for w in ws)
+    # 3s clone: needs prompt AND transcription
+    assert err(validate_request(MODES[1], False, "", "", ""))
+    assert err(validate_request(MODES[1], True, "", "", ""))
+    assert not err(validate_request(MODES[1], True, "bonjour", "", ""))
+    # cross-lingual: needs prompt only
+    assert err(validate_request(MODES[2], False, "", "", ""))
+    assert not err(validate_request(MODES[2], True, "", "", ""))
+    # control: needs instruction + (prompt or speaker)
+    assert err(validate_request(MODES[3], True, "", "", ""))
+    assert err(validate_request(MODES[3], False, "", "speak softly", ""))
+    assert not err(validate_request(MODES[3], False, "", "speak softly", "spk"))
+    assert not err(validate_request(MODES[3], True, "", "speak softly", ""))
