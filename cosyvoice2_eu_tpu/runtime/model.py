@@ -288,6 +288,26 @@ class TTSModel:
         self._rng, sub = jax.random.split(self._rng)
         return sub
 
+    def _finalize_full(
+        self,
+        tokens: np.ndarray,
+        p: PromptInputs,
+        session: dict,
+        speed: float = 1.0,
+    ) -> np.ndarray:
+        """One-shot non-streaming synthesis; degrades to the windowed
+        streaming loop when prompt+tokens exceed the largest flow bucket.
+        The reference hard-fails at its TRT cap of 3000 mel frames
+        (cli/model.py:114); we keep synthesizing with a rolling context.
+        With speed != 1.0 the fallback applies speed only to the final
+        chunk (the streaming schedule cannot stretch committed chunks)."""
+        n_prompt = len(p.flow_prompt_speech_tokens)
+        if n_prompt + len(tokens) <= FLOW_TOKEN_BUCKETS[-1]:
+            return self._token2wav(tokens, p, 0, session, False, True, speed)
+        return np.concatenate(
+            list(self._wav_from_token_gen(iter(tokens), p, True, speed))
+        )
+
     def _token2wav(
         self,
         all_tokens: np.ndarray,
@@ -419,7 +439,7 @@ class TTSModel:
                     self._next_rng(),
                 )
                 tokens = np.asarray(tokens)[0, : int(lengths[0])]
-            yield self._token2wav(tokens, prompt, 0, session, False, True, speed)
+            yield self._finalize_full(tokens, prompt, session, speed)
             return
 
         if self.cached_stream:
@@ -531,7 +551,7 @@ class TTSModel:
         session: dict = {"hift_cache": None}
         if not stream:
             tokens = np.fromiter(token_gen, np.int32)
-            yield self._token2wav(tokens, prompt, 0, session, False, True, speed)
+            yield self._finalize_full(tokens, prompt, session, speed)
             return
         if self.cached_stream:
             from cosyvoice2_eu_tpu.serving.engine import StreamSession
@@ -892,6 +912,17 @@ class TTSModel:
         # batched flow: shared token bucket, per-row prompt/feat lengths
         ratio = cfg.flow.token_mel_ratio
         totals = [len(p.flow_prompt_speech_tokens) + int(lengths[i]) for i, p in enumerate(prompts)]
+        if max(totals) > FLOW_TOKEN_BUCKETS[-1]:
+            # rows past the largest flow bucket can't share the batched
+            # program; degrade to per-utterance synthesis (windowed for the
+            # long rows, one-shot for the rest).  Rare: >~40 s outputs.
+            return [
+                self._finalize_full(
+                    tokens[i, : int(lengths[i])], prompts[i],
+                    {"hift_cache": None}, speed,
+                )
+                for i in range(n)
+            ]
         tok_bucket = bucket_for(max(totals), buckets=FLOW_TOKEN_BUCKETS)
         tok_arr = np.zeros((n, tok_bucket), np.int32)
         feat = np.zeros((n, tok_bucket * ratio, cfg.flow.output_size), np.float32)

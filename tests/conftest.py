@@ -28,3 +28,28 @@ jax.config.update("jax_compilation_cache_dir", None)
 # ... and keep load() from re-enabling it mid-suite (it defaults the cache on
 # when the current value is None; "none" is its explicit off switch)
 os.environ["COSY_COMPILE_CACHE"] = "none"
+
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run tests marked slow (multi-minute e2e compiles)",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute e2e test (deselected by default; --runslow runs it)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow e2e test: pass --runslow to run")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -1,6 +1,7 @@
 """AOT executable store: wrapper behavior and key hygiene."""
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from cosyvoice2_eu_tpu.runtime import aot_cache
@@ -70,6 +71,7 @@ def test_cache_dir_precedence(monkeypatch):
     aot_cache.set_cache_dir(None)
 
 
+@pytest.mark.slow
 def test_warmup_flow_runs_tiny(monkeypatch, tmp_path):
     """cosy2-eu warmup flow end-to-end on the tiny config (CPU: programs run
     and the store path is wired; persistence itself is accelerator-only)."""

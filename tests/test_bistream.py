@@ -1,6 +1,7 @@
 """Bistream (streaming text input) decode: protocol and consistency."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -66,6 +67,7 @@ def test_bistream_generator_yields_tokens():
     assert all(0 <= t < CFG.speech_token_size for t in tokens)
 
 
+@pytest.mark.slow
 def test_bistream_through_public_api(tmp_path):
     """--backbone routing: a non-BlankEN HF backbone sends tts()/stream()
     through the bistream fill-token protocol, and stream_text() accepts

@@ -237,6 +237,7 @@ def test_convert_hift_with_weight_norm_keys():
     assert got_paths == want_paths
 
 
+@pytest.mark.slow
 def test_native_extract_and_load_roundtrip(tmp_path):
     """Train->serve loop without torch: training checkpoints (orbax pytrees,
     train/executor.py) extracted by tools/extract_for_inference.py into a

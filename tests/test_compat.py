@@ -33,6 +33,7 @@ def shim():
     return obj
 
 
+@pytest.mark.slow
 def test_inference_cross_lingual_generator(shim):
     prompt = torch.zeros(1, 8000)
     outs = list(shim.inference_cross_lingual("bonjour le monde", prompt, stream=False))

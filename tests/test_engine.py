@@ -75,6 +75,7 @@ def test_slot_decode_matches_single_decode(model):
         assert (row >= 0).all() and (row < cfg.speech_token_size).all()
 
 
+@pytest.mark.slow
 def test_engine_concurrent_requests(model):
     """More requests than slots: all complete with finite audio of the
     expected token-aligned length; slots get reused."""
@@ -106,6 +107,7 @@ def test_engine_session_matches_offline(model):
         engine.close()
 
 
+@pytest.mark.slow
 def test_engine_api_facade():
     """EngineAPI: Cosy2EU-compatible surface over the batching engine."""
     import cosyvoice2_eu_tpu as cosy
@@ -241,6 +243,7 @@ def test_engine_stages_while_slots_busy(model):
         engine.close()
 
 
+@pytest.mark.slow
 def test_engine_long_utterance_past_flow_bucket(model, monkeypatch):
     """An engine request whose prompt+generated tokens exceed the largest
     flow bucket must stream to completion via the windowed finalize instead
@@ -270,6 +273,7 @@ def test_engine_long_utterance_past_flow_bucket(model, monkeypatch):
     assert len(total) // scale > 128 - n_sp  # really exceeded the cap
 
 
+@pytest.mark.slow
 def test_stream_session_cap_hit_drains_in_chunks(model, monkeypatch):
     """When a session hits the cached-flow token cap with a large unvocoded
     remainder, finalize drains it in hop-sized stream chunks (each within

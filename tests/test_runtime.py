@@ -68,6 +68,7 @@ def test_tts_non_streaming(model):
     assert np.isfinite(audio).all()
 
 
+@pytest.mark.slow
 def test_tts_streaming_matches_total_length(model):
     prompt = _prompt()
     model._rng = jax.random.key(123)
@@ -80,6 +81,7 @@ def test_tts_streaming_matches_total_length(model):
     assert np.isfinite(streamed).all()
 
 
+@pytest.mark.slow
 def test_tts_batch(model):
     rng = np.random.default_rng(5)
     prompts = []
@@ -113,6 +115,7 @@ def test_vc_mode(model):
     assert len(np.concatenate(chunks)) == len(wav)
 
 
+@pytest.mark.slow
 def test_cold_and_warm_streams_identical(model):
     """Hybrid cold start (first chunk via recompute while priming) must
     produce the same audio as a warm (primed-snapshot) run: cached ==
@@ -140,6 +143,7 @@ def test_cold_and_warm_streams_identical(model):
         np.testing.assert_allclose(c, w, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_stream_rollover_long_utterance():
     """>cap utterances keep streaming O(T) through window rollover: no giant
     final-recompute chunk, same total token count, identical prefix before
@@ -218,6 +222,7 @@ def test_wav_from_token_gen_windows_past_flow_bucket(model, monkeypatch):
     assert np.isfinite(total).all()
 
 
+@pytest.mark.slow
 def test_recompute_tts_windows_past_flow_bucket(monkeypatch):
     """The sibling recompute loop in tts(cached_stream=False) must apply the
     same windowing: long LM generations previously overflowed bucket_for
@@ -248,3 +253,42 @@ def test_recompute_tts_windows_past_flow_bucket(monkeypatch):
     scale = CFG.hift.upsample_scale * CFG.flow.token_mel_ratio
     assert len(total) // scale > 128 - n_sp  # really exceeded the cap
     assert np.isfinite(total).all()
+
+
+def test_nonstream_finalize_windows_past_flow_bucket(model, monkeypatch):
+    """Non-streaming synthesis of a long token sequence must degrade to the
+    windowed chunk loop instead of raising bucket-overflow (the reference
+    hard-fails at its TRT cap, cli/model.py:114)."""
+    import cosyvoice2_eu_tpu.runtime.model as rtm
+
+    monkeypatch.setattr(rtm, "FLOW_TOKEN_BUCKETS", (64, 128))
+    prompt = _prompt()
+    rng = np.random.default_rng(11)
+    tokens = rng.integers(0, CFG.flow.vocab_size, 150).astype(np.int32)
+    chunks = list(model._wav_from_token_gen(iter(tokens), prompt, stream=False))
+    assert len(chunks) == 1  # non-stream contract: one waveform
+    scale = CFG.hift.upsample_scale * CFG.flow.token_mel_ratio
+    assert len(chunks[0]) == 150 * scale
+    assert np.isfinite(chunks[0]).all()
+
+
+def test_tts_batch_windows_past_flow_bucket(model, monkeypatch):
+    """tts_batch with one row past the largest flow bucket degrades to
+    per-utterance synthesis instead of raising."""
+    import cosyvoice2_eu_tpu.runtime.model as rtm
+
+    monkeypatch.setattr(rtm, "FLOW_TOKEN_BUCKETS", (64, 128))
+    monkeypatch.setattr(
+        rtm.TTSModel, "_lm_decode_fn",
+        lambda self, p, g: lambda *a: (
+            np.tile(np.arange(140, dtype=np.int32) % CFG.flow.vocab_size, (2, 1)),
+            np.asarray([140, 20], np.int32),
+        ),
+    )
+    prompts = [_prompt(), _prompt()]
+    wavs = model.tts_batch(prompts)
+    scale = CFG.hift.upsample_scale * CFG.flow.token_mel_ratio
+    assert len(wavs) == 2
+    assert len(wavs[0]) == 140 * scale  # long row, windowed
+    assert len(wavs[1]) == 20 * scale   # short row, one-shot
+    assert all(np.isfinite(w).all() for w in wavs)

@@ -64,6 +64,7 @@ def test_proto_roundtrip():
     assert back.zero_shot_request.tts_text == "bonjour"
 
 
+@pytest.mark.slow
 def test_grpc_server_roundtrip(api):
     grpc = pytest.importorskip("grpc")
     from cosyvoice2_eu_tpu.serving.grpc_server import make_client_stub, serve

@@ -93,6 +93,7 @@ def test_lm_train_step_sharded(fsdp):
     assert not np.allclose(w_after, w_before)
 
 
+@pytest.mark.slow
 def test_resume_continues_exact_trajectory(tmp_path):
     """3 steps -> full checkpoint -> resume == 6 uninterrupted steps.
 
@@ -156,6 +157,7 @@ def test_resume_continues_exact_trajectory(tmp_path):
     np.testing.assert_allclose(losses_a + losses_b, losses_all, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_flow_train_step():
     mesh = make_mesh(dp=8, fsdp=1)
     cfg = CFG.flow
@@ -183,6 +185,7 @@ def test_flow_train_step():
     assert np.isfinite(float(metrics2["loss"]))
 
 
+@pytest.mark.slow
 def test_train_cli_end_to_end(tmp_path):
     """Drive the real CLI (train.main) for llm / --lora / --dpo on synthetic
     parquet with the tiny config: batches pad to the dp mesh, checkpoints

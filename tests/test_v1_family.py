@@ -261,6 +261,7 @@ def test_flow_v1_inference_parity():
     assert cache.shape == (1, mels, mel1 + 34, 2)
 
 
+@pytest.mark.slow
 def test_flow_v1_loss_finite_and_differentiable():
     from cosyvoice2_eu_tpu.models.flow_v1 import flow_v1_loss, init_flow_v1
 
@@ -527,6 +528,7 @@ def _tiny_v1_params(cfg):
     }
 
 
+@pytest.mark.slow
 def test_model_v1_stream_matches_nonstream_length():
     """The growing-hop streaming scheduler (cli/model.py:205) emits exactly
     the non-streaming sample count, chunk boundaries crossfaded."""
@@ -560,6 +562,7 @@ def test_model_v1_stream_matches_nonstream_length():
         assert np.isfinite(c).all()
 
 
+@pytest.mark.slow
 def test_model_v1_tts_end_to_end_and_speed():
     """Text -> LM -> flow -> hift through the public tts(); speed!=1 resamples
     the mel on the finalize chunk (cli/model.py:180)."""
@@ -612,6 +615,7 @@ def _fake_frontend_fns(cfg):
     return tok_fn, spk_fn
 
 
+@pytest.mark.slow
 def test_cosyvoice_v1_compat_modes():
     """The reference CosyVoice surface (cli/cosyvoice.py:27): sft /
     zero_shot / cross_lingual / instruct / vc generators + spk2info."""
