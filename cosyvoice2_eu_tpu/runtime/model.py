@@ -233,6 +233,69 @@ class TTSModel:
 
         return aot_jit(f"first_chunk_fused_n{n_feed}_e{emit_frames}", fn, donate_argnums=(1,))
 
+    @functools.lru_cache(maxsize=8)
+    def _stream_chunk_fused_fn(self, n_feed: int):
+        """Fused steady-state stream chunk: flow feed + HiFT (with source
+        splicing) + Hamming crossfade + cache rotation in ONE program.
+
+        The unfused path pays 2 dispatches + 3 host fetches per chunk (mel,
+        audio, source); over the remote-TPU tunnel each fetch is an RPC round
+        trip, and even locally the mel never needs to visit the host.  Valid
+        only in the steady state: feed == emit == n_feed tokens, past the
+        prompt region, with a full-size hift cache.  Same math as
+        feed()+_hift_chunk (reference token2wav, cli/model.py:300-334)."""
+        from cosyvoice2_eu_tpu.models.flow_streaming import flow_chunk
+
+        cfg = self.cfg
+        ratio = cfg.flow.token_mel_ratio
+        emit_frames = n_feed * ratio
+        mc, sc = self.mel_cache_len, self.source_cache_len
+        T_mel = mc + emit_frames
+        h_bucket = bucket_for(T_mel, buckets=(32, 64, 128, 256, 512, 1024, 2048))
+        up = cfg.hift.upsample_scale
+        win = jnp.asarray(self.speech_window, jnp.float32)  # (2*sc,)
+
+        def fn(sparams, fstate, tok, ctx, emb, cond, hift_params, rng,
+               cache_mel, cache_source, cache_speech):
+            mel, fstate = flow_chunk(sparams, cfg.flow, fstate, tok, ctx, emb, cond)
+            tts_mel = jnp.concatenate([cache_mel, mel], axis=2)  # (1, 80, T_mel)
+            mel_in = jnp.concatenate(
+                [tts_mel, jnp.repeat(tts_mel[:, :, -1:], h_bucket - T_mel, axis=2)],
+                axis=2,
+            )
+            audio, source = hift_inference(
+                hift_params, cfg.hift, mel_in, rng,
+                cache_source=cache_source, cache_len=jnp.asarray(sc),
+            )
+            n_samples = T_mel * up
+            audio = audio[0, :n_samples]
+            source = source[:, :, :n_samples]
+            # _fade_in_out: Hamming crossfade of the chunk head with the
+            # previous chunk's withheld tail
+            head = audio[:sc] * win[:sc] + cache_speech * win[sc:]
+            audio = jnp.concatenate([head, audio[sc:]])
+            return (
+                fstate,
+                audio[:-sc],
+                tts_mel[:, :, -mc:],
+                source[:, :, -sc:],
+                audio[-sc:],
+            )
+
+        return aot_jit(
+            f"stream_chunk_fused_n{n_feed}", fn, donate_argnums=(1, 8, 9, 10)
+        )
+
+    def _fused_cache_ok(self, session: dict) -> bool:
+        """hift cache shaped for the fused steady-state chunk program."""
+        cache = session.get("hift_cache")
+        return (
+            cache is not None
+            and cache["mel"].shape[2] == self.mel_cache_len
+            and cache["source"].shape[2] == self.source_cache_len
+            and cache["speech"].shape[0] == self.source_cache_len
+        )
+
     # feed sizes for priming the prompt through the cached flow: fewest
     # dispatches while keeping a small compiled-program set
     PRIME_SIZES = (400, 200, 100, 50, 25)
@@ -656,15 +719,26 @@ class TTSModel:
                 out[k] = prompt.flow_prompt_speech_tokens[i] if i < P else gen[gb + i - P]
             return out
 
+        def fetch():
+            """ONE combined device_get for LM progress + the token snapshot:
+            scalars and tokens each cost a full RPC round trip on the axon
+            tunnel, and every site that reads the scalars needs tokens soon
+            after (the snapshot is ~2.5 KB — free next to the latency)."""
+            step, n_avail, finished, toks = jax.device_get(
+                (state.step, state.lengths[0], state.finished[0], state.tokens)
+            )
+            gen_cache["arr"] = toks[0]
+            return step, n_avail, finished
+
         def feed(fstate, t_fed, n, materialize=True):
             """One cached-flow feed of n tokens starting at t_fed.
 
             materialize=False keeps the (discarded) mel on device so prompt
             priming enqueues back-to-back without host round trips — each
             device_get is an RPC on the axon tunnel and was serializing the
-            cold-prompt TTFA path."""
-            if t_fed + n + la > P:  # one fetch covers tok + ctx
-                gen_cache["arr"] = np.asarray(state.tokens)[0]
+            cold-prompt TTFA path.  Generated tokens come from the snapshot
+            the last fetch() took (feeds are gated on that fetch's n_avail,
+            so the snapshot always covers the fed region)."""
             tok = combined(t_fed, n)[None]
             ctx = combined(t_fed + n, la)[None]
             cond = np.zeros((1, n * ratio, cfg.flow.output_size), np.float32)
@@ -710,9 +784,7 @@ class TTSModel:
 
         # LM progress scalars are only refreshed after decode calls (each
         # device_get is an RPC round trip on the axon tunnel)
-        step, n_avail, finished = jax.device_get(
-            (state.step, state.lengths[0], state.finished[0])
-        )
+        step, n_avail, finished = fetch()
 
         # FIRST CHUNK VIA RECOMPUTE (primed or not): the single recompute
         # program over prompt+first-hop (~70 ms on a v5e) beats both the
@@ -731,11 +803,9 @@ class TTSModel:
             state = chunk_fn(
                 self.params["llm"], state, pl, min_a, max_a, jnp.asarray(target)
             )
-            step, n_avail, finished = jax.device_get(
-                (state.step, state.lengths[0], state.finished[0])
-            )
+            step, n_avail, finished = fetch()
         if int(n_avail) >= need:
-            first_tokens = np.asarray(state.tokens)[0, :need]
+            first_tokens = gen_cache["arr"][:need]
             with self.timer.stage("first_chunk_recompute"):
                 audio = self._token2wav(
                     first_tokens, prompt, 0, session, True, False
@@ -791,7 +861,11 @@ class TTSModel:
                     t += n
             return fstate, total
 
+        stale = False  # scalars predate an in-flight speculative decode
         while True:
+            if stale:
+                step, n_avail, finished = fetch()
+                stale = False
             gb = pos["gen_base"]
             need_gen = gb + t_fed + next_feed + la - P  # absolute generated
             if need_gen > 0 and int(n_avail) < need_gen and not bool(finished):
@@ -800,9 +874,7 @@ class TTSModel:
                 state = chunk_fn(
                     self.params["llm"], state, pl, min_a, max_a, jnp.asarray(target)
                 )
-                step, n_avail, finished = jax.device_get(
-                    (state.step, state.lengths[0], state.finished[0])
-                )
+                step, n_avail, finished = fetch()
             at_cap = t_fed + next_feed > self.stream_max_tokens
             remaining = int(n_avail) - (gb + t_fed - P)  # generated, unfed
             # rollover needs headroom for prompt + window + continued feeding
@@ -823,8 +895,8 @@ class TTSModel:
                 continue
             if emitted_tokens == 0 and session["hift_cache"] is None \
                     and mel_buf.shape[2] == 0:
-                # first emission: fused flow+hift, single dispatch
-                gen_cache["arr"] = np.asarray(state.tokens)[0]
+                # first emission: fused flow+hift, single dispatch (the token
+                # snapshot is fresh from the gating fetch above)
                 tok = combined(t_fed, next_feed)[None]
                 ctx = combined(t_fed + next_feed, la)[None]
                 cond = np.zeros((1, next_feed * ratio, cfg.flow.output_size), np.float32)
@@ -853,6 +925,43 @@ class TTSModel:
                 this_hop = hop
                 yield audio[: -self.source_cache_len]
                 continue
+            if (
+                next_feed == hop and this_hop == hop and mel_buf.shape[2] == 0
+                and t_fed >= P and self._fused_cache_ok(session)
+            ):
+                # steady state: ONE fused dispatch (flow + HiFT + crossfade +
+                # cache rotation) and ONE fetch (the yielded audio); the hift
+                # cache stays on device between chunks
+                tok = combined(t_fed, next_feed)[None]
+                ctx = combined(t_fed + next_feed, la)[None]
+                cond = np.zeros(
+                    (1, next_feed * ratio, cfg.flow.output_size), np.float32
+                )  # t_fed >= P: past the prompt-feat region
+                cache = session["hift_cache"]
+                fused = self._stream_chunk_fused_fn(next_feed)
+                with self.timer.stage(f"stream_chunk_fused[{next_feed}]"):
+                    fstate, audio_d, c_mel, c_src, c_sp = fused(
+                        sparams, fstate, jnp.asarray(tok), jnp.asarray(ctx),
+                        jnp.asarray(prompt.embedding[None]), jnp.asarray(cond),
+                        self.params["hift"], self._next_rng(),
+                        jnp.asarray(cache["mel"]), jnp.asarray(cache["source"]),
+                        jnp.asarray(cache["speech"]),
+                    )
+                    # speculative decode of the next hop overlaps the audio
+                    # fetch below: lm_decode_chunk is a no-op once finished,
+                    # and early-decoded tokens are needed eventually anyway
+                    if not bool(finished) and int(step) < state.tokens.shape[1]:
+                        state = chunk_fn(
+                            self.params["llm"], state, pl, min_a, max_a,
+                            jnp.asarray(int(step) + hop + la),
+                        )
+                        stale = True
+                    audio = np.asarray(audio_d)
+                session["hift_cache"] = {"mel": c_mel, "source": c_src, "speech": c_sp}
+                t_fed += next_feed
+                emitted_tokens += this_hop
+                yield audio
+                continue
             mel, fstate = feed(fstate, t_fed, next_feed)
             # keep only generated-region mel
             start = max(0, prompt_mel - t_fed * ratio)
@@ -867,7 +976,7 @@ class TTSModel:
                 this_hop = hop
                 yield audio
 
-        final_tokens = np.asarray(state.tokens)[0, : int(state.lengths[0])]
+        final_tokens = gen_cache["arr"][: int(n_avail)]
         # after a rollover, the finalize recompute is window-bounded too:
         # tokens before gen_base were fully vocoded long ago and have left
         # the context window

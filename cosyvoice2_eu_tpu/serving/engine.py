@@ -129,6 +129,36 @@ class StreamSession:
             avail >= self.t_fed + self.next_feed + self.la
             and self.t_fed + self.next_feed <= model.stream_max_tokens
         ):
+            if (
+                self.next_feed == self.hop and self.this_hop == self.hop
+                and self.mel_buf.shape[2] == 0 and self.t_fed >= self.P
+                and model._fused_cache_ok(self.session)
+            ):
+                # steady state: one fused dispatch (flow + HiFT + crossfade +
+                # cache rotation), caches stay on device — halves the
+                # per-chunk dispatch/fetch count of the unfused path below
+                tok = self._combined(self.t_fed, self.hop, gen_tokens)[None]
+                ctx = self._combined(self.t_fed + self.hop, self.la, gen_tokens)[None]
+                cond = np.zeros(
+                    (1, self.hop * self.ratio, model.cfg.flow.output_size),
+                    np.float32,
+                )  # t_fed >= P: past the prompt-feat region
+                cache = self.session["hift_cache"]
+                fused = model._stream_chunk_fused_fn(self.hop)
+                self.fstate, audio_d, c_mel, c_src, c_sp = fused(
+                    self.sparams, self.fstate, jnp.asarray(tok),
+                    jnp.asarray(ctx), jnp.asarray(self.prompt.embedding[None]),
+                    jnp.asarray(cond), model.params["hift"], model._next_rng(),
+                    jnp.asarray(cache["mel"]), jnp.asarray(cache["source"]),
+                    jnp.asarray(cache["speech"]),
+                )
+                self.session["hift_cache"] = {
+                    "mel": c_mel, "source": c_src, "speech": c_sp,
+                }
+                out.append(np.asarray(audio_d))
+                self.t_fed += self.hop
+                self.emitted += self.hop
+                continue
             mel = self._feed(self.t_fed, self.next_feed, gen_tokens)
             start = max(0, self.prompt_mel - self.t_fed * self.ratio)
             self.mel_buf = np.concatenate([self.mel_buf, mel[:, :, start:]], axis=2)

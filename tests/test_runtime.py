@@ -192,8 +192,10 @@ def test_stream_rollover_long_utterance():
     assert n_tokens > 100
 
     assert m_roll.timer.counts.get("stream_rollover", 0) >= 1
-    # old cap behavior also truncated the un-decoded tail
-    assert len(flat) < len(roll)
+    # the speculative decode runs the LM ahead of vocoding, so even the
+    # non-rollover path renders the complete utterance at cap time — as one
+    # oversized final recompute chunk rather than bounded streaming chunks
+    assert len(flat) == len(roll)
     # no spike: every post-first rolled chunk stays within two hops
     hop = m_roll.token_hop_len
     assert all(len(c) <= 2 * hop * scale for c in chunks_roll[1:])
@@ -253,6 +255,35 @@ def test_recompute_tts_windows_past_flow_bucket(monkeypatch):
     scale = CFG.hift.upsample_scale * CFG.flow.token_mel_ratio
     assert len(total) // scale > 128 - n_sp  # really exceeded the cap
     assert np.isfinite(total).all()
+
+
+def test_fused_stream_chunk_matches_unfused(model, monkeypatch):
+    """The fused steady-state chunk program (flow + HiFT + crossfade + cache
+    rotation in one dispatch, caches on device) must emit the same audio as
+    the unfused feed()+_hift_chunk path, chunk for chunk."""
+    rng = np.random.default_rng(5)
+    n_sp = 6
+    prompt = PromptInputs(  # longer text -> min_len forces steady-state chunks
+        text_tokens=rng.integers(2, 200, 40).astype(np.int32),
+        prompt_text_tokens=rng.integers(2, 200, 4).astype(np.int32),
+        llm_prompt_speech_tokens=rng.integers(0, CFG.llm.speech_token_size, n_sp).astype(np.int32),
+        flow_prompt_speech_tokens=rng.integers(0, CFG.flow.vocab_size, n_sp).astype(np.int32),
+        prompt_feat=rng.standard_normal((n_sp * 2, CFG.flow.output_size)).astype(np.float32),
+        embedding=rng.standard_normal(CFG.frontend.spk_embed_dim).astype(np.float32),
+    )
+    hop = model.token_hop_len
+    before = model.timer.counts.get(f"stream_chunk_fused[{hop}]", 0)
+    model._rng = jax.random.key(33)
+    fused = list(model.tts(prompt, stream=True))
+    assert model.timer.counts.get(f"stream_chunk_fused[{hop}]", 0) > before, \
+        "steady-state fused path never engaged"
+    monkeypatch.setattr(TTSModel, "_fused_cache_ok", lambda self, s: False)
+    model._rng = jax.random.key(33)
+    plain = list(model.tts(prompt, stream=True))
+    assert len(fused) == len(plain)
+    for a, b in zip(fused, plain):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=2e-3)
 
 
 def test_nonstream_finalize_windows_past_flow_bucket(model, monkeypatch):
