@@ -28,6 +28,26 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1.0e30
 
 
+def _fit_block(block: int, t: int) -> int:
+    """Largest divisor of ``t`` that is a multiple of 128 (lane-aligned),
+    capped at ``block``; ``t`` itself when t <= block and already divides.
+
+    Buckets are multiples of 128 but not of each other (e.g. t=384 with the
+    default 256 block), so the requested block must shrink to a divisor
+    rather than assert (bench r4 train-flow hit exactly t=384)."""
+    b = min(block, t)
+    if t % b == 0:
+        return b
+    b -= b % 128
+    while b >= 128 and t % b:
+        b -= 128
+    if b < 128 or t % b:
+        raise ValueError(
+            f"flash_attention: T={t} has no lane-aligned block <= {block}; "
+            "pad T to a multiple of 128")
+    return b
+
+
 def _attn_kernel(
     length_ref,  # SMEM (1,)
     q_ref,  # (1, BQ, D)
@@ -113,9 +133,8 @@ def flash_attention(
     b, h, t, d = q.shape
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
-    block_q = min(block_q, t)
-    block_k = min(block_k, t)
-    assert t % block_q == 0 and t % block_k == 0, (t, block_q, block_k)
+    block_q = _fit_block(block_q, t)
+    block_k = _fit_block(block_k, t)
     bh = b * h
     qf = q.reshape(bh, t, d)
     kf = k.reshape(bh, t, d)

@@ -40,6 +40,35 @@ def test_flash_matches_reference(chunk, lengths):
         )
 
 
+def test_flash_t384_block_autofit():
+    """T=384 with the default 256 block must shrink to 128, not assert
+    (bench r4 train-flow regression: mel frames = 192 tokens * 2)."""
+    rng = np.random.default_rng(2)
+    B, H, T, D = 1, 2, 384, 64
+    q = jnp.asarray(rng.standard_normal((B, H, T, D)).astype(np.float32) * 0.3)
+    k = jnp.asarray(rng.standard_normal((B, H, T, D)).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.standard_normal((B, H, T, D)).astype(np.float32) * 0.3)
+    L = jnp.asarray([300])
+    got = flash_attention(q, k, v, L, chunk_size=0, interpret=True)
+    want = _reference(q, k, v, L, 0)
+    np.testing.assert_allclose(
+        np.asarray(got)[0, :, :300], np.asarray(want)[0, :, :300],
+        atol=2e-5, rtol=1e-4)
+
+
+def test_fit_block():
+    from cosyvoice2_eu_tpu.ops.pallas.flash_attention import _fit_block
+
+    assert _fit_block(256, 384) == 128
+    assert _fit_block(256, 512) == 256
+    assert _fit_block(256, 128) == 128
+    assert _fit_block(256, 64) == 64
+    assert _fit_block(128, 640) == 128
+    assert _fit_block(256, 640) == 128
+    with pytest.raises(ValueError):
+        _fit_block(256, 384 + 8)
+
+
 def test_flash_small_chunks_block_skip():
     """chunk smaller than block: visibility boundary inside a block."""
     rng = np.random.default_rng(1)
