@@ -167,10 +167,16 @@ def estimator_forward(
     spks: jnp.ndarray,
     cond: jnp.ndarray,
     streaming: bool = False,
+    backend: str | None = None,
 ) -> jnp.ndarray:
     """Predict velocity.
 
     x/mu/cond: (B, 80, T); mask: (B, 1, T); t: (B,); spks: (B, 80).
+
+    backend: attention backend override; None = auto (pallas on TPU).
+    Training MUST pass "xla": pallas_call has no autodiff rule, so
+    differentiating through the flash kernel raises NotImplementedError
+    (and at train-step shapes the masked-softmax path is MXU-fine).
     """
     b, _, T = x.shape
     temb = sinusoidal_time_emb(t, cfg.in_channels, cfg.time_embed_scale).astype(x.dtype)
@@ -185,7 +191,7 @@ def estimator_forward(
 
     lengths = jnp.sum(mask[:, 0].astype(jnp.int32), axis=-1)
     chunk = cfg.static_chunk_size if streaming else 0
-    mask_info = (lengths, chunk, attention_backend())
+    mask_info = (lengths, chunk, backend or attention_backend())
 
     def run_blocks(sp, h):
         h = causal_resnet(sp["resnet"], h, mask, temb)

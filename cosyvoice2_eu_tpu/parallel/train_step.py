@@ -113,8 +113,11 @@ def flow_loss_fn(params, cfg: FlowConfig, batch, rng, streaming: bool):
     mask = make_non_pad_mask(feat_len, t_mel)[:, None].astype(feat.dtype)
 
     def est_fn(y, m, mu, t, s, c):
+        # backend="xla": the Pallas flash kernel has no autodiff rule
+        # (grad through pallas_call raises NotImplementedError on TPU)
         return estimator_forward(
-            params["estimator"], cfg.estimator, y, m, mu, t, s, c, streaming=streaming
+            params["estimator"], cfg.estimator, y, m, mu, t, s, c,
+            streaming=streaming, backend="xla",
         )
 
     loss = cfm_loss(

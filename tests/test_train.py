@@ -185,6 +185,38 @@ def test_flow_train_step():
     assert np.isfinite(float(metrics2["loss"]))
 
 
+def test_flow_train_grad_never_touches_pallas(monkeypatch):
+    """Differentiating pallas_call raises NotImplementedError, so the train
+    path must pin backend="xla" even when the flash kernel is globally on
+    (BENCH r4 regression: flow train step died on TPU with
+    NotImplementedError once T=384 started fitting the kernel).  Forcing
+    COSY_TPU_FLASH=1 on CPU reproduces: the step only succeeds if training
+    never reaches the pallas path."""
+    monkeypatch.setenv("COSY_TPU_FLASH", "1")
+    from cosyvoice2_eu_tpu.parallel.train_step import flow_loss_fn
+
+    cfg = CFG.flow
+    params = init_flow(jax.random.key(0), cfg)
+    rng = np.random.default_rng(5)
+    B, T_tok = 2, 12
+    batch = {
+        "speech_token": jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T_tok)), jnp.int32),
+        "speech_token_len": jnp.full((B,), T_tok, jnp.int32),
+        "speech_feat": jnp.asarray(
+            rng.standard_normal((B, T_tok * 2, cfg.output_size)), jnp.float32
+        ),
+        "speech_feat_len": jnp.full((B,), T_tok * 2, jnp.int32),
+        "embedding": jnp.asarray(rng.standard_normal((B, cfg.spk_embed_dim)), jnp.float32),
+    }
+    (loss, _), grads = jax.value_and_grad(
+        lambda p: flow_loss_fn(p, cfg, batch, jax.random.key(6), False),
+        has_aux=True,
+    )(params)
+    assert np.isfinite(float(loss))
+    gnorm = float(sum(jnp.sum(g * g) for g in jax.tree.leaves(grads)) ** 0.5)
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
 @pytest.mark.slow
 def test_train_cli_end_to_end(tmp_path):
     """Drive the real CLI (train.main) for llm / --lora / --dpo on synthetic
