@@ -25,6 +25,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import signal
 import subprocess
@@ -667,6 +668,7 @@ def phase_cold(result_path: str):
         compute_dtype="none" if weights is not None else "bfloat16",
     )
     model = model_api._model
+    load_s = time.time() - t_start
     prompt = make_prompt(cfg, np.random.default_rng(7777))
     gen = model.tts(prompt, stream=True)
     first = next(gen)
@@ -674,11 +676,19 @@ def phase_cold(result_path: str):
     n = len(first)
     for _ in gen:
         pass
+    from cosyvoice2_eu_tpu.runtime.aot_cache import store_stats
+
     with open(result_path, "w") as f:
         json.dump(
             {
                 "cold_first_audio_s": round(first_audio_s, 1),
+                "cold_load_s": round(load_s, 1),
                 "cold_first_chunk_samples": int(n),
+                # which stage programs missed the AOT store (each entry is
+                # (name, compile_seconds)) — a slow cold run names its cause
+                "cold_aot_loaded": sorted(set(store_stats["loaded"])),
+                "cold_aot_built": store_stats["built"],
+                "cold_aot_not_persisted": store_stats["not_persisted"],
             },
             f,
         )
@@ -688,6 +698,9 @@ def main():
     if "--phase" in sys.argv:
         phase = sys.argv[sys.argv.index("--phase") + 1]
         result_path = sys.argv[sys.argv.index("--out") + 1]
+        # surface "aot: loaded/saved/not persisting" on stderr (the parent
+        # tails child stderr) so store misses are diagnosable from bench logs
+        logging.basicConfig(level=logging.INFO, stream=sys.stderr)
         if phase == "main":
             phase_main(result_path)
         elif phase == "cold":

@@ -21,10 +21,16 @@ import logging
 import os
 import pickle
 import threading
+import time as _time
 
 import jax
 
 logger = logging.getLogger(__name__)
+
+# Diagnostics: which stage programs were served from disk vs compiled in this
+# process. bench.py's cold phase reports these so a slow "cold install" run
+# names the exact programs that missed the store instead of a mute 500 s.
+store_stats: dict = {"loaded": [], "built": [], "not_persisted": []}
 
 
 # Only sources that can change the COMPILED programs feed the salt: the
@@ -185,10 +191,13 @@ class AotFunction:
                 with open(path, "rb") as f:
                     payload, in_tree, out_tree = pickle.load(f)
                 logger.info("aot: loaded %s", os.path.basename(path))
+                store_stats["loaded"].append(self.name)
                 return deserialize_and_load(payload, in_tree, out_tree)
             except Exception as e:  # corrupted/incompatible: rebuild
                 logger.warning("aot: failed to load %s (%s); recompiling", path, e)
+        t0 = _time.time()
         compiled = self._jit.lower(*args).compile()
+        store_stats["built"].append((self.name, round(_time.time() - t0, 1)))
         if path:
             try:
                 from jax.experimental.serialize_executable import serialize
@@ -203,6 +212,7 @@ class AotFunction:
                 logger.info("aot: saved %s", os.path.basename(path))
             except Exception as e:  # serialization unsupported on backend
                 logger.info("aot: not persisting %s (%s)", self.name, e)
+                store_stats["not_persisted"].append((self.name, repr(e)[:120]))
         return compiled
 
 

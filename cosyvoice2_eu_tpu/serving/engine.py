@@ -106,10 +106,17 @@ class StreamSession:
         )
         return np.asarray(mel)
 
-    def feed(self, gen_tokens: np.ndarray, lm_finished: bool) -> list:
+    def feed(self, gen_tokens: np.ndarray, lm_finished: bool,
+             fetch: bool = True) -> list:
         """Consume the generated-token prefix seen so far; returns audio
         chunks that became ready.  Call once more with lm_finished=True to
-        flush the final chunk."""
+        flush the final chunk.
+
+        fetch=False returns fused-path chunks as DEVICE arrays (np.asarray
+        them later): the engine loop feeds every active session before
+        fetching any audio, so one session's device->host transfer overlaps
+        the other sessions' vocode compute instead of serializing on the
+        per-session RPC round trip."""
         out = []
         if self.done:
             return out
@@ -155,7 +162,7 @@ class StreamSession:
                 self.session["hift_cache"] = {
                     "mel": c_mel, "source": c_src, "speech": c_sp,
                 }
-                out.append(np.asarray(audio_d))
+                out.append(audio_d)  # device array; fetched below or by caller
                 self.t_fed += self.hop
                 self.emitted += self.hop
                 continue
@@ -176,6 +183,8 @@ class StreamSession:
             if remaining > 0 or self.session["hift_cache"] is not None or cap_hit:
                 out.extend(self._finalize(np.asarray(gen_tokens, np.int32)))
             self.done = True
+        if fetch:
+            return [np.asarray(c) for c in out]
         return out
 
     def _finalize(self, gen: np.ndarray) -> list:
@@ -466,19 +475,31 @@ class TTSEngine:
             self._pending_harvest = None
         tokens, lengths, finished = jax.device_get(harvest)
         skip, self._harvest_skip = self._harvest_skip, set()
+        # two passes: feed (dispatch vocode) for EVERY active session first,
+        # then fetch+enqueue the audio — session A's device->host transfer
+        # overlaps session B's vocode compute (fetch=False defers np.asarray)
+        results = []
         for slot, req in enumerate(self._slots):
             if req is None or slot in skip:
                 continue
             n = int(lengths[slot])
             done = bool(finished[slot])
+            chunks: list = []
             if n > req.harvested or done:
                 req.harvested = n
                 try:
-                    for chunk in req.session.feed(tokens[slot, :n], done):
-                        req.out.put(chunk)
+                    chunks = req.session.feed(tokens[slot, :n], done, fetch=False)
                 except Exception as e:
                     req.failed = str(e)
                     done = True
+            results.append((slot, req, chunks, done))
+        # one batched transfer for every chunk produced this iteration (a
+        # single host sync instead of one RPC round trip per session chunk)
+        fetched = jax.device_get([c for _, _, chunks, _ in results for c in chunks])
+        it = iter(fetched)
+        for slot, req, chunks, done in results:
+            for _ in chunks:
+                req.out.put(np.asarray(next(it)))
             if done:
                 req.out.put(None)
                 self._slots[slot] = None
