@@ -669,6 +669,10 @@ def phase_cold(result_path: str):
     )
     model = model_api._model
     load_s = time.time() - t_start
+    # force the lazy (axon) weight upload now so its cost is visible
+    # separately from program loads / first execution
+    jax.block_until_ready(model.params)
+    weights_ready_s = time.time() - t_start
     prompt = make_prompt(cfg, np.random.default_rng(7777))
     gen = model.tts(prompt, stream=True)
     first = next(gen)
@@ -683,6 +687,7 @@ def phase_cold(result_path: str):
             {
                 "cold_first_audio_s": round(first_audio_s, 1),
                 "cold_load_s": round(load_s, 1),
+                "cold_weights_ready_s": round(weights_ready_s, 1),
                 "cold_first_chunk_samples": int(n),
                 # which stage programs missed the AOT store (each entry is
                 # (name, compile_seconds)) — a slow cold run names its cause

@@ -327,10 +327,14 @@ def _estimator_chunk(params, cfg: FlowConfig, state: FlowStreamState, x_new, mu_
         return y + conv1d(rp["res_conv"], h_in), tail_b1, tail_b2
 
     ep = params["estimator"]
-    for step in range(1, len(t_span)):
-        t_cur = t_span[step - 1]
-        dt = t_span[step] - t_span[step - 1]
-        s = step - 1
+
+    # lax.scan over Euler steps: one traced body instead of n_timesteps
+    # inlined U-Net copies (~10x smaller executable, same math — the steps
+    # differ only in (s, t_cur, dt), threaded through as scan inputs; the
+    # per-step caches index on the traced s)
+    def euler_step(carry, sx):
+        x, est_h, tails = carry
+        s, t_cur, dt = sx
         temb = sinusoidal_time_emb(
             jnp.full((2 * b,), t_cur, jnp.float32), est.in_channels, est.time_embed_scale
         ).astype(x.dtype)
@@ -387,8 +391,19 @@ def _estimator_chunk(params, cfg: FlowConfig, state: FlowStreamState, x_new, mu_
         dphi = conv1d(ep["final_proj"], h)
         dphi_c, dphi_u = dphi[:b], dphi[b:]
         vfield = (1.0 + rate) * dphi_c - rate * dphi_u
-        x = (x + jnp.asarray(float(dt), x.dtype) * vfield).astype(x_new.dtype)
+        x = (x + dt.astype(x.dtype) * vfield).astype(x_new.dtype)
+        return (x, est_h, tails), None
 
+    n_steps = len(t_span) - 1
+    (x, est_h, tails), _ = jax.lax.scan(
+        euler_step,
+        (x, est_h, tails),
+        (
+            jnp.arange(n_steps, dtype=jnp.int32),
+            jnp.asarray(t_span[:n_steps], jnp.float32),
+            jnp.asarray(t_span[1:] - t_span[:n_steps], jnp.float32),
+        ),
+    )
     state = state._replace(est_h=est_h, conv_tails=tails)
     return x, state
 

@@ -74,17 +74,23 @@ def _solve_euler_cfg_v1(params, cfg: FlowV1Config, z, mu, mask, spks, cond):
     spks_in = jnp.concatenate([spks, jnp.zeros_like(spks)], axis=0)
     cond_in = jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
     mask_in = jnp.concatenate([mask, mask], axis=0)
-    x = z
-    for step in range(1, len(t_span)):
-        dt = float(t_span[step] - t_span[step - 1])
+    # scan, not a Python loop: one traced U-Net body instead of n_timesteps
+    # inlined copies (see models/flow.py solve_euler_cfg)
+    t_curs = jnp.asarray(t_span[:-1], z.dtype)
+    dts = jnp.asarray(t_span[1:] - t_span[:-1], z.dtype)
+
+    def euler_step(x, tc_dt):
+        t_cur, dt = tc_dt
         x_in = jnp.concatenate([x, x], axis=0)
-        t_in = jnp.full((2 * b,), float(t_span[step - 1]), x.dtype)
+        t_in = jnp.full((2 * b,), t_cur, x.dtype)
         dphi = estimator_v1_forward(
             params["estimator"], cfg.estimator, x_in, mask_in, mu_in, t_in,
             spks_in, cond_in,
         )
         v = (1.0 + rate) * dphi[:b] - rate * dphi[b:]
-        x = (x + jnp.asarray(dt, x.dtype) * v).astype(z.dtype)
+        return (x + dt.astype(x.dtype) * v).astype(z.dtype), None
+
+    x, _ = jax.lax.scan(euler_step, z, (t_curs, dts))
     return x
 
 

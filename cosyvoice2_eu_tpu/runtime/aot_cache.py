@@ -22,6 +22,7 @@ import os
 import pickle
 import threading
 import time as _time
+import zlib
 
 import jax
 
@@ -188,11 +189,17 @@ class AotFunction:
             try:
                 from jax.experimental.serialize_executable import deserialize_and_load
 
+                t0 = _time.time()
                 with open(path, "rb") as f:
-                    payload, in_tree, out_tree = pickle.load(f)
+                    blob = f.read()
+                if blob[:2] == b"\x78\x01" or blob[:2] == b"\x78\x9c":
+                    blob = zlib.decompress(blob)
+                payload, in_tree, out_tree = pickle.loads(blob)
+                ex = deserialize_and_load(payload, in_tree, out_tree)
                 logger.info("aot: loaded %s", os.path.basename(path))
-                store_stats["loaded"].append(self.name)
-                return deserialize_and_load(payload, in_tree, out_tree)
+                store_stats["loaded"].append(
+                    (self.name, round(_time.time() - t0, 1)))
+                return ex
             except Exception as e:  # corrupted/incompatible: rebuild
                 logger.warning("aot: failed to load %s (%s); recompiling", path, e)
         t0 = _time.time()
@@ -206,8 +213,11 @@ class AotFunction:
                 os.makedirs(os.path.dirname(path), exist_ok=True)
                 _prune_stale(os.path.dirname(path))
                 tmp = path + f".tmp{os.getpid()}"
+                # zlib level 1: executable protos compress ~8x, cutting both
+                # the store footprint and the cold-start disk read
                 with open(tmp, "wb") as f:
-                    pickle.dump((payload, in_tree, out_tree), f)
+                    f.write(zlib.compress(
+                        pickle.dumps((payload, in_tree, out_tree)), 1))
                 os.replace(tmp, path)
                 logger.info("aot: saved %s", os.path.basename(path))
             except Exception as e:  # serialization unsupported on backend

@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from cosyvoice2_eu_tpu.models import llm as llm_mod
+from cosyvoice2_eu_tpu.runtime.aot_cache import aot_jit
 from cosyvoice2_eu_tpu.runtime.model import PromptInputs, bucket_for
 
 
@@ -287,7 +288,14 @@ class TTSEngine:
             return st, (jnp.copy(st.tokens), jnp.copy(st.lengths),
                         jnp.copy(st.finished))
 
-        self._decode = jax.jit(_decode_with_harvest, donate_argnums=(1,))
+        # AOT-wrapped (not plain jit): a fresh engine in a fresh process loads
+        # the decode executable from the store instead of paying trace+lower+
+        # compile inside the first request's TTFA window
+        self._decode = aot_jit(
+            f"engine_decode_s{n_slots}_c{chunk_steps}"
+            f"_k{max_cache}_g{self.max_gen}_{jnp.dtype(dtype).name}",
+            _decode_with_harvest, donate_argnums=(1,),
+        )
         # one-deep decode pipeline (VERDICT r3 next #6): harvest of chunk N
         # transfers to host while chunk N+1 executes, so engine throughput is
         # not serialized on the per-chunk device_get RPC round trip
@@ -336,7 +344,8 @@ class TTSEngine:
         if self._prefill_jit is None:
             dtype = self.state.kv.k.dtype
             max_cache = self.state.kv.k.shape[3]
-            self._prefill_jit = jax.jit(
+            self._prefill_jit = aot_jit(
+                f"engine_prefill_k{max_cache}_{jnp.dtype(dtype).name}",
                 lambda params, ids, src, pl: llm_mod.prefill_row(
                     params, self.cfg.llm, ids, src, pl, max_cache, dtype,
                 ),
@@ -346,8 +355,8 @@ class TTSEngine:
     @property
     def _insert_fn(self):
         if self._insert_jit is None:
-            self._insert_jit = jax.jit(
-                llm_mod.slot_insert, donate_argnums=(0,)
+            self._insert_jit = aot_jit(
+                "engine_insert", llm_mod.slot_insert, donate_argnums=(0,)
             )
         return self._insert_jit
 
