@@ -80,9 +80,21 @@ def init_embedding(rng, num: int, dim: int) -> dict:
 
 def dense(p: dict, x: jnp.ndarray) -> jnp.ndarray:
     if "weight_q" in p:
-        # int8 weight-only: HBM reads halve vs bf16; the int8->compute convert
-        # fuses into the dot on TPU.  y = (x @ Wq^T) * scale
-        y = (x @ p["weight_q"].T.astype(x.dtype)) * p["scale"].astype(x.dtype)
+        # int8 weight-only: y = (x @ Wq^T) * scale.  On TPU the dequantize
+        # must stay inside the kernel (XLA materializes the bf16 copy through
+        # HBM, costing ~2.5x the bf16 bytes); the Pallas kernel reads int8
+        # from HBM once and converts in VMEM.
+        from cosyvoice2_eu_tpu.ops.pallas.int8_matmul import (
+            int8_backend, int8_matmul,
+        )
+
+        wq = p["weight_q"]
+        if int8_backend() == "pallas" and wq.shape[1] % 128 == 0:
+            lead = x.shape[:-1]
+            y32 = int8_matmul(x.reshape(-1, x.shape[-1]), wq)
+            y = (y32 * p["scale"]).astype(x.dtype).reshape(*lead, wq.shape[0])
+        else:
+            y = (x @ wq.T.astype(x.dtype)) * p["scale"].astype(x.dtype)
     else:
         y = x @ p["weight"].astype(x.dtype).T
     if "bias" in p:
