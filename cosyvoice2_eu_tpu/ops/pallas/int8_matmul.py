@@ -73,11 +73,12 @@ def int8_matmul(
 
 
 def int8_backend() -> str:
-    """'pallas' on real TPU backends, 'xla' elsewhere (tests/CPU).
-    Override with COSY_TPU_INT8=0/1."""
+    """'pallas' only where the Pallas TPU lowering is known-supported
+    (default_backend() == 'tpu'); 'xla' everywhere else — CPU/GPU tests and
+    experimental platforms alike.  Override with COSY_TPU_INT8=0/1."""
     import os
 
     override = os.environ.get("COSY_TPU_INT8")
     if override is not None:
         return "pallas" if override == "1" else "xla"
-    return "pallas" if jax.default_backend() not in ("cpu", "gpu") else "xla"
+    return "pallas" if jax.default_backend() == "tpu" else "xla"

@@ -58,7 +58,7 @@ def _module_specs(module: dict, kind: str, tp: int) -> dict:
             # out dim: weight/weight_q axis 0; bias/scale are (out,)
             if leaf.ndim >= 1 and leaf.shape[0] % tp == 0:
                 spec = P("tp") if leaf.ndim == 1 else P("tp", *([None] * (leaf.ndim - 1)))
-        elif kind == "row" and name in ("weight", "weight_q"):
+        elif kind == "row" and name in ("weight", "weight_q", "weight_q_xla"):
             if leaf.ndim == 2 and leaf.shape[1] % tp == 0:
                 spec = P(None, "tp")
         out[name] = spec
@@ -91,7 +91,25 @@ def shard_lm_tp(params: dict, mesh: Mesh) -> dict:
 
     The decode programs need no changes: jit infers input shardings from the
     placed arrays and GSPMD partitions the while_loop body (KV cache lands
-    sharded over kv-heads because k/v_proj outputs are)."""
+    sharded over kv-heads because k/v_proj outputs are).
+
+    Quantized modules are re-keyed ``weight_q`` -> ``weight_q_xla`` so
+    utils/params.py dense() takes the XLA dequant path under tp: a
+    pallas_call has no GSPMD partitioning rule, so routing sharded int8
+    weights through the Pallas kernel would force a full all-gather per
+    decode step (or fail to lower)."""
+
+    def requantize(node):
+        if isinstance(node, dict):
+            return {
+                ("weight_q_xla" if k == "weight_q" else k): requantize(v)
+                for k, v in node.items()
+            }
+        if isinstance(node, (list, tuple)):
+            return type(node)(requantize(v) for v in node)
+        return node
+
+    params = requantize(params)
     specs = lm_tp_specs(params, mesh.shape["tp"])
 
     # manual walk: PartitionSpec is tuple-like, so jax.tree.map would

@@ -133,10 +133,21 @@ def _prune_stale(d: str) -> None:
 def _arg_sig(args) -> str:
     leaves, treedef = jax.tree.flatten(args)
     parts = [str(treedef)]
+    has_int8 = False
     for leaf in leaves:
         shape = getattr(leaf, "shape", ())
         dtype = getattr(leaf, "dtype", type(leaf).__name__)
+        if str(dtype) == "int8":
+            has_int8 = True
         parts.append(f"{shape}{dtype}")
+    if has_int8:
+        # quantized programs lower differently per int8 backend (Pallas vs
+        # XLA dequant, chosen via COSY_TPU_INT8/platform) with identical arg
+        # shapes — mix the resolved backend in so flipping the env can never
+        # serve a stale executable compiled for the other path
+        from cosyvoice2_eu_tpu.ops.pallas.int8_matmul import int8_backend
+
+        parts.append(f"int8:{int8_backend()}")
     return hashlib.sha256("|".join(parts).encode()).hexdigest()[:24]
 
 

@@ -79,17 +79,25 @@ def init_embedding(rng, num: int, dim: int) -> dict:
 # ---------------------------------------------------------------------------
 
 def dense(p: dict, x: jnp.ndarray) -> jnp.ndarray:
-    if "weight_q" in p:
+    if "weight_q" in p or "weight_q_xla" in p:
         # int8 weight-only: y = (x @ Wq^T) * scale.  On TPU the dequantize
         # must stay inside the kernel (XLA materializes the bf16 copy through
         # HBM, costing ~2.5x the bf16 bytes); the Pallas kernel reads int8
         # from HBM once and converts in VMEM.
+        # "weight_q_xla" pins the XLA dequant path: tensor-parallel params are
+        # stored under this key (parallel/tp.py) because a pallas_call has no
+        # GSPMD partitioning rule — XLA would replicate/all-gather the full
+        # int8 weights every decode step, defeating the tp sharding.
         from cosyvoice2_eu_tpu.ops.pallas.int8_matmul import (
             int8_backend, int8_matmul,
         )
 
-        wq = p["weight_q"]
-        if int8_backend() == "pallas" and wq.shape[1] % 128 == 0:
+        wq = p.get("weight_q", p.get("weight_q_xla"))
+        if (
+            "weight_q" in p
+            and int8_backend() == "pallas"
+            and wq.shape[1] % 128 == 0
+        ):
             lead = x.shape[:-1]
             y32 = int8_matmul(x.reshape(-1, x.shape[-1]), wq)
             y = (y32 * p["scale"]).astype(x.dtype).reshape(*lead, wq.shape[0])

@@ -78,6 +78,31 @@ def test_tp_decode_matches_single_device(tp):
     np.testing.assert_array_equal(got_tokens, ref_tokens)
 
 
+def test_tp_int8_rekeys_to_xla_path_and_decodes():
+    """load(lm_quant="int8", tp>1): quantized weights must be re-keyed to
+    the GSPMD-partitionable XLA dequant path (a pallas_call has no SPMD
+    rule) and the sharded int8 decode must match unsharded int8 decode."""
+    from cosyvoice2_eu_tpu.utils.params import quantize_lm_params
+
+    params = quantize_lm_params(llm_mod.init_lm(jax.random.key(0), CFG))
+    ref_tokens, ref_n = _decode(params)
+    assert ref_n > 0
+
+    mesh = make_tp_mesh(2)
+    sharded = shard_lm_tp(params, mesh)
+    layer = sharded["backbone"]["layers"][0]
+    # re-keyed off the pallas path...
+    assert "weight_q" not in layer["q_proj"]
+    assert layer["q_proj"]["weight_q_xla"].dtype == jnp.int8
+    # ...and actually column-sharded over the mesh
+    qw = layer["q_proj"]["weight_q_xla"]
+    shard_rows = {s.data.shape[0] for s in qw.addressable_shards}
+    assert shard_rows == {qw.shape[0] // 2}
+    got_tokens, got_n = _decode(sharded)
+    assert got_n == ref_n
+    np.testing.assert_array_equal(got_tokens, ref_tokens)
+
+
 def test_tp_prefill_hidden_close():
     """Prefill last-hidden parity under sharding (activation-level check,
     independent of sampling)."""
