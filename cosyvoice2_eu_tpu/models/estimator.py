@@ -174,9 +174,8 @@ def estimator_forward(
     x/mu/cond: (B, 80, T); mask: (B, 1, T); t: (B,); spks: (B, 80).
 
     backend: attention backend override; None = auto (pallas on TPU).
-    Training MUST pass "xla": pallas_call has no autodiff rule, so
-    differentiating through the flash kernel raises NotImplementedError
-    (and at train-step shapes the masked-softmax path is MXU-fine).
+    The flash kernel is differentiable (custom VJP with Pallas backward
+    kernels, ops/pallas/flash_attention.py), so training uses it too.
     """
     b, _, T = x.shape
     temb = sinusoidal_time_emb(t, cfg.in_channels, cfg.time_embed_scale).astype(x.dtype)

@@ -113,11 +113,12 @@ def flow_loss_fn(params, cfg: FlowConfig, batch, rng, streaming: bool):
     mask = make_non_pad_mask(feat_len, t_mel)[:, None].astype(feat.dtype)
 
     def est_fn(y, m, mu, t, s, c):
-        # backend="xla": the Pallas flash kernel has no autodiff rule
-        # (grad through pallas_call raises NotImplementedError on TPU)
+        # backend=None (auto): the flash kernel carries a custom VJP (Pallas
+        # backward kernels, ops/pallas/flash_attention.py), so training runs
+        # flash on TPU too; CPU tests auto-fall back to the XLA path
         return estimator_forward(
             params["estimator"], cfg.estimator, y, m, mu, t, s, c,
-            streaming=streaming, backend="xla",
+            streaming=streaming,
         )
 
     loss = cfm_loss(
