@@ -349,17 +349,11 @@ def train_bench(cfg, out: dict):
     import pyarrow.parquet as pq
 
     from cosyvoice2_eu_tpu.frontend.tokenizer import ByteFallbackTokenizer
-    from cosyvoice2_eu_tpu.ops.mel import mel_spectrogram
+    from cosyvoice2_eu_tpu.ops.mel import host_mel_fn
     from cosyvoice2_eu_tpu.train import dataset as ds
 
-    m = cfg.mel
-
-    def mel_fn(wav: np.ndarray) -> np.ndarray:
-        out_ = mel_spectrogram(
-            jnp.asarray(wav[None]), m.n_fft, m.num_mels, m.sampling_rate,
-            m.hop_size, m.win_size, m.fmin, m.fmax, m.center,
-        )
-        return np.asarray(out_)[0].T
+    # same host-numpy featurizer the training CLI uses (train/train.py)
+    mel_fn = host_mel_fn(cfg.mel)
 
     n_utts = 8 if tiny else 48
     with tempfile.TemporaryDirectory() as td:

@@ -27,16 +27,33 @@ def shard_list(items: Sequence, rank: int, world_size: int, epoch: int = 0,
 
 
 def parquet_opener(paths: Iterable[str], batch_rows: int = 64) -> Iterator[dict]:
-    """Yield per-utterance dicts from parquet shards (processor.py:29)."""
+    """Yield per-utterance dicts from parquet shards (processor.py:29).
+
+    List columns (waveforms, token ids, embeddings) decode via Arrow
+    offsets + one zero-copy values buffer per record batch — ``to_pydict``
+    materialized every waveform as a 100k-element Python list (tens of ms
+    per row, the bulk of the old pipeline's cost)."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     for path in paths:
         table = pq.ParquetFile(path)
         for batch in table.iter_batches(batch_size=batch_rows):
-            df = batch.to_pydict()
-            keys = list(df.keys())
-            for i in range(len(df[keys[0]])):
-                yield {k: df[k][i] for k in keys}
+            n = batch.num_rows
+            cols = {}
+            for name, col in zip(batch.schema.names, batch.columns):
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+                    values = col.values.to_numpy(zero_copy_only=False)
+                    offs = np.asarray(col.offsets)  # absolute into values
+                    cols[name] = [
+                        values[offs[i] : offs[i + 1]] for i in range(n)
+                    ]
+                else:
+                    cols[name] = col.to_pylist()
+            for i in range(n):
+                yield {k: v[i] for k, v in cols.items()}
 
 
 def tokenize(samples: Iterator[dict], tokenizer) -> Iterator[dict]:
@@ -243,6 +260,71 @@ def padding(batches: Iterator[List[dict]], use_spk_embedding: bool = True,
         yield out
 
 
+def prefetch(samples: Iterator, depth: int = 4) -> Iterator:
+    """Run the upstream iterator chain in a background thread with a bounded
+    queue: host featurization (parquet decode, mel, f0) overlaps the
+    consumer's device steps instead of serializing with them — the role of
+    the reference's multi-worker DataLoader + prefetch
+    (cosy_repo/cosyvoice/utils/train_utils.py:59, dataset/dataset.py:82-104).
+    Thread- not process-based: the hot stages are numpy/Arrow (GIL-released),
+    and items pass by reference with no pickling."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in samples:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # surface upstream errors to the consumer
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
+def worker_map(samples: Iterator[dict], fn: Callable[[dict], dict],
+               num_workers: int = 0, window: int = 8) -> Iterator[dict]:
+    """Ordered parallel map over samples with a bounded in-flight window.
+
+    The per-sample featurizers (mel FFT, YIN f0, resample) are numpy/native
+    code that releases the GIL, so a thread pool scales them across cores on
+    multi-core hosts; num_workers=0 (or 1 CPU) degrades to the plain serial
+    map with zero overhead."""
+    if num_workers <= 0:
+        for s in samples:
+            yield fn(s)
+        return
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        pending: "deque" = deque()
+        for s in samples:
+            pending.append(pool.submit(fn, s))
+            if len(pending) >= window:
+                yield pending.popleft().result()
+        while pending:
+            yield pending.popleft().result()
+
+
+def _default_workers() -> int:
+    import os
+
+    n = os.cpu_count() or 1
+    return max(0, min(n - 1, 8))  # leave one core for the training loop
+
+
 def build_pipeline(
     paths: Sequence[str],
     tokenizer,
@@ -255,19 +337,34 @@ def build_pipeline(
     use_spk_embedding: bool = True,
     shuffle_size: int = 1000,
     sort_size: int = 500,
+    num_workers: int | None = None,
+    prefetch_depth: int = 4,
 ) -> Iterator[dict]:
-    """The full reference pipeline order (conf/cosyvoice2.yaml data_pipeline)."""
+    """The full reference pipeline order (conf/cosyvoice2.yaml data_pipeline).
+
+    num_workers: thread-pool width for the featurize stages (None = cores-1,
+    capped at 8); prefetch_depth: batches prepared ahead in a background
+    thread (0 disables)."""
+    if num_workers is None:
+        num_workers = _default_workers()
     it = parquet_opener(shard_list(paths, rank, world_size, epoch))
     it = tokenize(it, tokenizer)
     it = filter_samples(it)
-    it = resample(it)
-    if gan:
-        it = truncate(it)
-    it = compute_fbank(it, mel_fn)
-    if gan:
-        it = compute_f0(it)
-    it = parse_embedding(it)
+
+    def featurize(s: dict) -> dict:
+        s = next(resample(iter([s])))
+        if gan:
+            s = next(truncate(iter([s])))
+        s = next(compute_fbank(iter([s]), mel_fn))
+        if gan:
+            s = next(compute_f0(iter([s])))
+        return next(parse_embedding(iter([s])))
+
+    it = worker_map(it, featurize, num_workers=num_workers)
     it = shuffle(it, shuffle_size)
     it = sort_by_length(it, sort_size)
     batches = dynamic_batch(it, max_frames_in_batch)
-    return padding(batches, use_spk_embedding)
+    out = padding(batches, use_spk_embedding)
+    if prefetch_depth > 0:
+        out = prefetch(out, depth=prefetch_depth)
+    return out

@@ -107,3 +107,28 @@ def test_gan_pipeline_has_pitch(shards):
     assert b["pitch_feat"].shape == b["speech_feat"].shape[:2]
     # GAN crops are fixed length (truncate_length 24480 -> 51 mel frames)
     assert b["speech"].shape[1] == 24480
+
+
+def test_prefetch_preserves_order_and_raises():
+    from cosyvoice2_eu_tpu.train.dataset import prefetch
+
+    assert list(prefetch(iter(range(20)), depth=3)) == list(range(20))
+
+    def boom():
+        yield 1
+        raise ValueError("upstream died")
+
+    it = prefetch(boom(), depth=2)
+    assert next(it) == 1
+    with pytest.raises(ValueError, match="upstream died"):
+        next(it)
+
+
+def test_worker_map_ordered():
+    from cosyvoice2_eu_tpu.train.dataset import worker_map
+
+    items = [{"i": i} for i in range(37)]
+    fn = lambda s: {"i": s["i"] * 2}
+    serial = [s["i"] for s in worker_map(iter(items), fn, num_workers=0)]
+    pooled = [s["i"] for s in worker_map(iter(items), fn, num_workers=4)]
+    assert serial == pooled == [2 * i for i in range(37)]

@@ -131,3 +131,19 @@ def test_ras_sample_repetition_triggers_full_resample():
     # expect ~12 escapes vs ~3 without repetition (p(7|nucleus) ~ 0.94)
     assert sum(d != 7 for d in hot) >= 3
     assert sum(d != 7 for d in hot) > sum(d != 7 for d in cold)
+
+
+def test_mel_spectrogram_np_matches_device_op():
+    """The host-numpy pipeline featurizer must match the jitted device mel
+    (same math; the data pipeline trains against these features)."""
+    from cosyvoice2_eu_tpu.ops.mel import mel_spectrogram_np
+
+    rng = np.random.default_rng(3)
+    wav = (rng.standard_normal(24000 * 3) * 0.2).astype(np.float32)
+    want = np.asarray(mel_spectrogram(jnp.asarray(wav[None])))[0]
+    got = mel_spectrogram_np(wav)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+    # batched form too
+    got2 = mel_spectrogram_np(np.stack([wav, wav * 0.5]))
+    np.testing.assert_allclose(got2[0], want, atol=2e-5, rtol=1e-5)
