@@ -169,24 +169,160 @@ class FishSpeechEngine:
         return pcm.astype(np.float32) / 32768.0, sr
 
 
-class OpenVoiceEngine:
-    """OpenVoice v2 tone-color cloning (reference OpenVoiceSynthesizer
-    :118-296). Requires the `openvoice` package + checkpoints; gated here."""
+_OPENVOICE_PROMPT_PREFIX = {
+    "fr": "Speak in French:",
+    "de": "Sprich auf Deutsch:",
+    "en": "Speak in English:",
+}
 
-    def __init__(self, language: str = "fr", **_):
+
+class OpenVoiceEngine:
+    """OpenVoice v2 tone-color cloning baseline: a base TTS voices the text,
+    then a ToneColorConverter re-timbres it to the reference speaker
+    (reference OpenVoiceSynthesizer, evaluation/baselines_synthesizer.py:118-296:
+    Gemini TTS base speech + openvoice ToneColorConverter + se_extractor).
+
+    The three stages are injectable (``base_tts`` / ``converter`` /
+    ``extract_se``) so the pipeline logic — source-embedding bootstrap from a
+    long base utterance, per-prompt target-embedding cache, convert, 16 kHz
+    output — is offline-testable like the other wrappers; with no injection
+    the real backends load lazily (openvoice package + GOOGLE_API_KEY, both
+    absent from this image)."""
+
+    sample_rate = 16000  # reference resamples converted audio to 16 kHz
+
+    def __init__(self, language: str = "fr", ckpt_converter: Optional[str] = None,
+                 device: str = "cpu", base_voice: str = "Kore",
+                 gemini_model: str = "gemini-2.5-flash-preview-tts",
+                 base_tts: Optional[Callable] = None,
+                 converter: Optional[Callable] = None,
+                 extract_se: Optional[Callable] = None, **_):
+        self.language = language
+        self._target_se_cache: Dict[str, np.ndarray] = {}
+        if base_tts is None or converter is None or extract_se is None:
+            base_tts, converter, extract_se = self._load_real(
+                ckpt_converter, device, base_voice, gemini_model
+            )
+        self.base_tts = base_tts  # text -> (wav float32, sr)
+        self.converter = converter  # (wav, sr, src_se, tgt_se) -> (wav, sr)
+        self.extract_se = extract_se  # (wav, sr) -> (256,) embedding
+        # source tone color from one long base utterance (reference :208-219)
+        base_text = _OPENVOICE_PROMPT_PREFIX.get(language, "Speak:") + (
+            " Bonjour et bienvenue. Ecoutez attentivement chaque mot et "
+            "chaque intonation; la clarte et le rythme sont tres importants."
+        )
+        wav, sr = self.base_tts(base_text)
+        self.source_se = self.extract_se(wav, sr)
+
+    def _load_real(self, ckpt_converter, device, base_voice, gemini_model):
         try:
-            import openvoice  # type: ignore # noqa: F401
+            from openvoice import se_extractor  # type: ignore
+            from openvoice.api import ToneColorConverter  # type: ignore
         except ImportError as e:
             raise ImportError(
-                "OpenVoice package not in this image; use engine='fake' for "
-                "architecture tests"
+                "OpenVoice package not in this image; pass base_tts/converter/"
+                "extract_se callables or use engine='fake' for architecture "
+                "tests"
             ) from e
-        # fail at construction, not per-sample: the base-TTS + tone-color
-        # conversion pipeline wrapper is not implemented yet
-        raise NotImplementedError(
-            "OpenVoice wrapper pipeline (base TTS + tone-color converter) "
-            "is not implemented; use xtts_v2/elevenlabs/fish_speech or 'fake'"
-        )
+        ckpt = ckpt_converter or os.environ.get("OPENVOICE_CKPT")
+        if not ckpt:
+            raise ValueError(
+                "OpenVoice checkpoint path not provided "
+                "(ckpt_converter or OPENVOICE_CKPT env)")
+        ckpt = ckpt.rstrip("/")
+        tcc = ToneColorConverter(f"{ckpt}/config.json", device=device)
+        tcc.load_ckpt(f"{ckpt}/checkpoint.pth")
+
+        def base_tts(text):
+            return _gemini_tts(text, gemini_model, base_voice)
+
+        def extract_se(wav, sr):
+            import tempfile
+
+            with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
+                _write_wav(f.name, wav, sr)
+                path = f.name
+            try:
+                se, _ = se_extractor.get_se(path, tcc, vad=True)
+                return np.asarray(se)
+            finally:
+                os.unlink(path)
+
+        def convert(wav, sr, src_se, tgt_se):
+            import tempfile
+
+            src = tempfile.NamedTemporaryFile(suffix=".wav", delete=False).name
+            dst = src + ".converted.wav"
+            try:
+                _write_wav(src, wav, sr)
+                tcc.convert(audio_src_path=src, src_se=src_se, tgt_se=tgt_se,
+                            output_path=dst, message="@OpenVoiceBaseline")
+                return _read_wav(dst)
+            finally:
+                for p in (src, dst):
+                    try:
+                        os.unlink(p)
+                    except OSError:
+                        pass
+
+        return base_tts, convert, extract_se
+
+    def _target_se(self, prompt_wav: str) -> np.ndarray:
+        se = self._target_se_cache.get(prompt_wav)
+        if se is None:
+            wav, sr = _read_wav(prompt_wav)
+            se = self.extract_se(wav, sr)
+            self._target_se_cache[prompt_wav] = se
+        return se
+
+    def synthesize(self, text: str, prompt_wav: Optional[str] = None
+                   ) -> Tuple[np.ndarray, int]:
+        prefix = _OPENVOICE_PROMPT_PREFIX.get(self.language, "Speak:")
+        base, sr = self.base_tts(f"{prefix}\n{text}")
+        tgt_se = self._target_se(prompt_wav) if prompt_wav else self.source_se
+        out, out_sr = self.converter(base, sr, self.source_se, tgt_se)
+        out = np.asarray(out, np.float32)
+        if out_sr != self.sample_rate:  # metrics consistency (reference :276)
+            from cosyvoice2_eu_tpu.frontend.frontend import resample as _rs
+
+            out = _rs(out, out_sr, self.sample_rate)
+        return out, self.sample_rate
+
+
+def _gemini_tts(text: str, model: str, voice: str) -> Tuple[np.ndarray, int]:
+    """Gemini TTS base speaker (reference _generate_base_speech :228-252);
+    returns 24 kHz float32 mono.  Needs google-genai + GOOGLE_API_KEY."""
+    try:
+        from google import genai  # type: ignore
+        from google.genai import types  # type: ignore
+    except ImportError as e:
+        raise ImportError("google-genai package not installed") from e
+    if "GOOGLE_API_KEY" not in os.environ:
+        raise EnvironmentError("GOOGLE_API_KEY not set")
+    client = genai.Client()
+    response = client.models.generate_content(
+        model=model,
+        contents=text,
+        config=types.GenerateContentConfig(
+            response_modalities=["AUDIO"],
+            speech_config=types.SpeechConfig(
+                voice_config=types.VoiceConfig(
+                    prebuilt_voice_config=types.PrebuiltVoiceConfig(
+                        voice_name=voice)
+                )
+            ),
+        ),
+    )
+    data = response.candidates[0].content.parts[0].inline_data.data
+    pcm = np.frombuffer(data, np.int16).astype(np.float32) / 32768.0
+    return pcm, 24000
+
+
+def _read_wav(path: str) -> Tuple[np.ndarray, int]:
+    with wave.open(path) as w:
+        sr = w.getframerate()
+        pcm = np.frombuffer(w.readframes(w.getnframes()), np.int16)
+    return pcm.astype(np.float32) / 32768.0, sr
 
 
 ENGINES: Dict[str, Callable] = {

@@ -188,3 +188,46 @@ def test_export_charts_to_docs(results_dir, tmp_path):
     with open(os.path.join(docs, "manifest.json")) as f:
         names2 = json.load(f)
     assert names2 == names
+
+
+def test_openvoice_pipeline_with_injected_backends(tmp_path):
+    """OpenVoice wrapper pipeline (VERDICT r4 next #8): base TTS -> tone
+    color conversion with per-prompt target-embedding cache, offline via
+    injected stage callables (same pattern as the fake engine)."""
+    from cosyvoice2_eu_tpu.eval.baselines import OpenVoiceEngine, _write_wav
+
+    calls = {"tts": [], "se": 0, "conv": []}
+
+    def base_tts(text):
+        calls["tts"].append(text)
+        rng = np.random.default_rng(len(text))
+        return (rng.normal(0, 0.1, 24000).astype(np.float32), 24000)
+
+    def extract_se(wav, sr):
+        calls["se"] += 1
+        return np.full((4,), float(np.abs(wav).mean()), np.float32)
+
+    def converter(wav, sr, src_se, tgt_se):
+        calls["conv"].append((float(src_se[0]), float(tgt_se[0])))
+        return wav * 0.5, sr
+
+    eng = OpenVoiceEngine(
+        language="fr", base_tts=base_tts, converter=converter,
+        extract_se=extract_se,
+    )
+    # construction bootstraps the source embedding from one long utterance
+    assert calls["se"] == 1 and len(calls["tts"]) == 1
+    assert "Speak in French:" in calls["tts"][0]
+
+    prompt = str(tmp_path / "spk.wav")
+    rng = np.random.default_rng(0)
+    _write_wav(prompt, rng.normal(0, 0.1, 16000).astype(np.float32), 16000)
+
+    wav, sr = eng.synthesize("bonjour le monde", prompt_wav=prompt)
+    assert sr == 16000 and wav.ndim == 1 and len(wav) > 0
+    # 24k base resampled to 16k output
+    assert len(wav) == 16000
+    # target embedding differs from source; cached on the second call
+    assert calls["conv"][0][0] != calls["conv"][0][1]
+    eng.synthesize("deuxieme phrase", prompt_wav=prompt)
+    assert calls["se"] == 2  # prompt embedding extracted once, then cached
