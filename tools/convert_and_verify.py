@@ -212,12 +212,17 @@ def main(argv=None):
     cfg = TTSConfig()
     report: dict = {"model_dir": args.model_dir}
 
+    _ALL = ("llm.pt", "flow.pt", "hift.pt", "speech_tokenizer_v2.onnx",
+            "campplus.onnx")
     present = sorted(
-        f for f in ("llm.pt", "flow.pt", "hift.pt", "speech_tokenizer_v2.onnx",
-                    "campplus.onnx")
-        if os.path.exists(os.path.join(args.model_dir, f))
+        f for f in _ALL if os.path.exists(os.path.join(args.model_dir, f))
     )
     report["artifacts_found"] = present
+    report["artifacts_missing"] = sorted(set(_ALL) - set(present))
+    # a subset still produces a full report for what IS there: the first
+    # machine that has any real artifact gets evidence with zero friction
+    # (docs/REAL_WEIGHTS.md; VERDICT r4 next #10)
+    report["partial"] = bool(report["artifacts_missing"])
     if not present:
         print(json.dumps(dict(report, error="no checkpoint artifacts found")))
         return 1
