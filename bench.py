@@ -93,11 +93,18 @@ def make_prompt(cfg, rng: np.random.Generator):
 
 
 def _force(out):
-    """axon executes lazily; a host fetch forces completion."""
+    """axon executes lazily; a host fetch forces completion.
+
+    Fetch the SMALLEST leaf, then block on the rest: fetching leaves[0]
+    dragged multi-MB buffers (e.g. a prefill's whole KV cache) through the
+    tunnel per timed call — r4's lm_prefill_ms=324 was ~99% that transfer
+    (the program itself runs in ~1.3 ms)."""
     import jax
 
-    leaf = jax.tree.leaves(out)[0]
+    leaves = jax.tree.leaves(out)
+    leaf = min(leaves, key=lambda l: getattr(l, "size", 1 << 60))
     np.asarray(jax.device_get(leaf)).ravel()[:1]
+    jax.block_until_ready(out)
     return out
 
 
@@ -667,7 +674,9 @@ def phase_cold(result_path: str):
     # separately from program loads / first execution
     jax.block_until_ready(model.params)
     weights_ready_s = time.time() - t_start
+    t0 = time.time()
     prompt = make_prompt(cfg, np.random.default_rng(7777))
+    prompt_s = time.time() - t0
     gen = model.tts(prompt, stream=True)
     first = next(gen)
     first_audio_s = time.time() - t_start
@@ -676,12 +685,29 @@ def phase_cold(result_path: str):
         pass
     from cosyvoice2_eu_tpu.runtime.aot_cache import store_stats
 
+    # attribution (VERDICT r4 next #2): the per-stage timers + AOT load
+    # seconds must account for cold_first_audio_s; anything left is
+    # host-side python/XLA-eager work between the named stages
+    stages = model.timer.summary()
+    attributed = (
+        weights_ready_s + prompt_s
+        + sum(v["total_s"] for v in stages.values())
+        + sum(s for _, s in store_stats["loaded"])
+        + sum(s for _, s in store_stats["built"])
+    )
     with open(result_path, "w") as f:
         json.dump(
             {
                 "cold_first_audio_s": round(first_audio_s, 1),
                 "cold_load_s": round(load_s, 1),
                 "cold_weights_ready_s": round(weights_ready_s, 1),
+                "cold_prompt_s": round(prompt_s, 1),
+                "cold_stages": {
+                    k: v["total_s"] for k, v in stages.items()
+                },
+                "cold_unattributed_s": round(
+                    max(first_audio_s - attributed, 0.0), 1
+                ),
                 "cold_first_chunk_samples": int(n),
                 # which stage programs missed the AOT store (each entry is
                 # (name, compile_seconds)) — a slow cold run names its cause

@@ -409,7 +409,13 @@ def _estimator_chunk(params, cfg: FlowConfig, state: FlowStreamState, x_new, mu_
 
 
 def prepare_stream_params(params: dict, cfg: FlowConfig, t_tok_max: int) -> dict:
-    """Precompute per-layer rel-pos projection tables for cached attention."""
+    """Precompute per-layer rel-pos projection tables for cached attention.
+
+    Pure HOST numpy: building these with eager jnp ops cost one remote XLA
+    compile per op under a fresh compile cache — a multi-second cold-start
+    tax per layer for what is a one-time (2L-1, d) matmul (VERDICT r4
+    next #2).  fp32 accumulate then cast matches the device matmul within
+    the cached path's verified tolerance."""
     enc = cfg.encoder
     d = enc.output_size
     heads = enc.attention_heads
@@ -417,11 +423,16 @@ def prepare_stream_params(params: dict, cfg: FlowConfig, t_tok_max: int) -> dict
     dtype = params["input_embedding"]["weight"].dtype
 
     def tables(layers, L):
-        pe = espnet_rel_pos_emb(L, d, dtype)  # (2L-1, d)
+        pe = np.asarray(espnet_rel_pos_emb(L, d, dtype), np.float32)  # (2L-1, d)
         out = []
         for lp in layers:
-            p = dense(lp["self_attn"]["linear_pos"], pe)  # (2L-1, d)
-            out.append(p.reshape(-1, heads, dk))
+            lin = lp["self_attn"]["linear_pos"]
+            w = np.asarray(lin["weight"], np.float32)
+            p = pe @ w.T  # torch layout (out, in)
+            if "bias" in lin:
+                p = p + np.asarray(lin["bias"], np.float32)
+            p = p.astype(dtype)
+            out.append(jnp.asarray(p.reshape(-1, heads, dk)))
         return out
 
     p = dict(params)

@@ -406,7 +406,7 @@ def lm_inference_bistream(
     prompt_speech: "np.ndarray",
     rng: jax.Array,
     max_cache: int = 2048,
-    seg_bucket: int = 32,
+    seg_bucket: int = 64,
     chunk_capacity: int = 64,
 ):
     """Streaming-text decode generator yielding speech tokens.
@@ -442,13 +442,18 @@ def lm_inference_bistream(
 
     for this_text in text_chunks:
         text_cache.extend(int(t) for t in this_text)
-        # interleave prompt speech with text 5:15
+        # interleave prompt speech with text 5:15, coalescing every pair this
+        # text piece unlocks into ONE padded extend (a 150-token prompt costs
+        # ~4 dispatches instead of 10 — first-audio latency is dispatch-bound
+        # on the bistream path, VERDICT r4 next #7)
+        pairs = []
         while speech_left and len(text_cache) >= mt:
-            pairs = [(t, SRC_TEXT) for t in text_cache[:mt]] + [
+            pairs += [(t, SRC_TEXT) for t in text_cache[:mt]] + [
                 (s, SRC_SPEECH) for s in speech_left[:ms]
             ]
-            state = extend(state, *seg(pairs))
             text_cache, speech_left = text_cache[mt:], speech_left[ms:]
+        for start in range(0, len(pairs), seg_bucket):
+            state = extend(state, *seg(pairs[start : start + seg_bucket]))
         if speech_left:
             continue  # wait for more text to finish the interleave
         if need_text:

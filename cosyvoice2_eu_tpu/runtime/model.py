@@ -188,10 +188,28 @@ class TTSModel:
         if self._stream_params is None:
             from cosyvoice2_eu_tpu.models.flow_streaming import prepare_stream_params
 
-            self._stream_params = prepare_stream_params(
-                self.params["flow"], self.cfg.flow, self.stream_max_tokens
-            )
+            with self.timer.stage("stream_params_build"):
+                self._stream_params = prepare_stream_params(
+                    self.params["flow"], self.cfg.flow, self.stream_max_tokens
+                )
         return self._stream_params
+
+    @functools.lru_cache(maxsize=1)
+    def _clone_state_fn(self):
+        return aot_jit(
+            "clone_stream_state", lambda st: jax.tree.map(jnp.copy, st)
+        )
+
+    @functools.lru_cache(maxsize=2)
+    def _init_state_fn(self, dtype):
+        from cosyvoice2_eu_tpu.models.flow_streaming import init_flow_stream_state
+
+        return aot_jit(
+            f"init_stream_state_{jnp.dtype(dtype).name}",
+            lambda: init_flow_stream_state(
+                self.cfg.flow, self.stream_max_tokens, dtype=dtype
+            ),
+        )
 
     @functools.lru_cache(maxsize=16)
     def _flow_chunk_fn(self, n: int):
@@ -286,6 +304,72 @@ class TTSModel:
             f"stream_chunk_fused_n{n_feed}", fn, donate_argnums=(1, 8, 9, 10)
         )
 
+    @functools.lru_cache(maxsize=8)
+    def _stream_chunk_fused_batch_fn(self, n_feed: int, batch: int):
+        """Slot-batched steady-state stream chunk: `batch` sessions' flow
+        feeds (vmapped per-row cursors) + ONE batched HiFT + crossfade +
+        cache rotation in a single dispatch.
+
+        The serving engine's per-iteration cost was `batch` sequential fused
+        dispatches (~85 ms of overhead-bound batch-1 estimator work each);
+        the batch dimension rides the same matmuls nearly for free, so four
+        streams vocode for ~the price of one (VERDICT r4 next #1).  Session
+        states stay per-session pytrees — stacking/unstacking happens inside
+        the program where XLA turns it into cheap on-device copies."""
+        from cosyvoice2_eu_tpu.models.flow_streaming import flow_chunk
+
+        cfg = self.cfg
+        ratio = cfg.flow.token_mel_ratio
+        emit_frames = n_feed * ratio
+        mc, sc = self.mel_cache_len, self.source_cache_len
+        T_mel = mc + emit_frames
+        h_bucket = bucket_for(T_mel, buckets=(32, 64, 128, 256, 512, 1024, 2048))
+        up = cfg.hift.upsample_scale
+        win = jnp.asarray(self.speech_window, jnp.float32)  # (2*sc,)
+
+        def row(sparams, fstate, tok, ctx, emb, cond):
+            mel, fstate = flow_chunk(
+                sparams, cfg.flow, fstate, tok[None], ctx[None], emb[None],
+                cond[None],
+            )
+            return mel[0], fstate
+
+        def fn(sparams, states, tok, ctx, emb, cond, hift_params, rng,
+               cache_mel, cache_source, cache_speech):
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+            mel, stacked = jax.vmap(row, in_axes=(None, 0, 0, 0, 0, 0))(
+                sparams, stacked, tok, ctx, emb, cond
+            )
+            tts_mel = jnp.concatenate([cache_mel, mel], axis=2)  # (B, 80, T_mel)
+            mel_in = jnp.concatenate(
+                [tts_mel, jnp.repeat(tts_mel[:, :, -1:], h_bucket - T_mel, axis=2)],
+                axis=2,
+            )
+            audio, source = hift_inference(
+                hift_params, cfg.hift, mel_in, rng,
+                cache_source=cache_source, cache_len=jnp.asarray(sc),
+            )
+            n_samples = T_mel * up
+            audio = audio[:, :n_samples]
+            source = source[:, :, :n_samples]
+            head = audio[:, :sc] * win[None, :sc] + cache_speech * win[None, sc:]
+            audio = jnp.concatenate([head, audio[:, sc:]], axis=1)
+            states_out = tuple(
+                jax.tree.map(lambda x: x[i], stacked) for i in range(batch)
+            )
+            return (
+                states_out,
+                audio[:, :-sc],
+                tts_mel[:, :, -mc:],
+                source[:, :, -sc:],
+                audio[:, -sc:],
+            )
+
+        return aot_jit(
+            f"stream_chunk_fused_b{batch}_n{n_feed}", fn,
+            donate_argnums=(1, 8, 9, 10),
+        )
+
     def _fused_cache_ok(self, session: dict) -> bool:
         """hift cache shaped for the fused steady-state chunk program."""
         cache = session.get("hift_cache")
@@ -308,6 +392,62 @@ class TTSModel:
                 n -= s
         assert n == 0
         return out
+
+    @staticmethod
+    def _prompt_prime_len(P: int, hop: int, la: int) -> int:
+        """Tokens of the prompt primed ahead of generation: full hops, minus
+        one if the remainder is too short to provide la-token context."""
+        prompt_only = (P // hop) * hop
+        if prompt_only and P - prompt_only < la:
+            prompt_only -= hop
+        return prompt_only
+
+    def _primed_flow_state(self, prompt: PromptInputs):
+        """A FlowStreamState primed over the prompt's full hops, served from
+        the per-prompt snapshot cache (prompt reuse is the serving common
+        case: add_zero_shot_spk / cached speakers).  The priming feeds never
+        fetch (each device_get is an RPC round trip on the axon tunnel and
+        the primed mel is discarded), so a cold prime is a handful of
+        back-to-back dispatches.  Returns (fstate, prompt_only)."""
+        from cosyvoice2_eu_tpu.models.flow_streaming import init_flow_stream_state
+
+        cfg = self.cfg
+        hop, la = self.token_hop_len, self.pre_lookahead_len
+        ratio = cfg.flow.token_mel_ratio
+        sp = prompt.flow_prompt_speech_tokens
+        P = len(sp)
+        prompt_only = self._prompt_prime_len(P, hop, la)
+        pk = (P, sp[: min(P, 16)].tobytes())
+        # clone via ONE persisted program, not per-leaf eager jnp.copy: each
+        # eager op is a separate XLA compile under a fresh cold cache
+        clone = self._clone_state_fn()
+        cached = self._primed_cache.get(pk)
+        if cached is not None:
+            return clone(cached), prompt_only
+
+        dtype = self.params["flow"]["input_embedding"]["weight"].dtype
+        sparams = self._get_stream_params()
+        with self.timer.stage("prompt_prime"):
+            fstate = self._init_state_fn(dtype)()
+            prompt_mel = P * ratio
+            t = 0
+            for n in self._decompose_feed(prompt_only):
+                tok = sp[t : t + n][None].astype(np.int32)
+                ctx = sp[t + n : t + n + la][None].astype(np.int32)
+                cond = np.zeros((1, n * ratio, cfg.flow.output_size), np.float32)
+                lo = t * ratio
+                take = min(n * ratio, prompt_mel - lo)
+                if take > 0:
+                    cond[0, :take] = prompt.prompt_feat[lo : lo + take]
+                _, fstate = self._flow_chunk_fn(n)(
+                    sparams, fstate, jnp.asarray(tok), jnp.asarray(ctx),
+                    jnp.asarray(prompt.embedding[None]), jnp.asarray(cond),
+                )  # mel discarded on device; no host fetch
+                t += n
+        if len(self._primed_cache) >= 4:  # bound HBM held by snapshots
+            self._primed_cache.pop(next(iter(self._primed_cache)))
+        self._primed_cache[pk] = clone(fstate)
+        return fstate, prompt_only
 
     @functools.lru_cache(maxsize=64)
     def _hift_fn(self, mel_bucket: int, with_cache: bool):
@@ -698,10 +838,11 @@ class TTSModel:
 
         # fused LM prefill + enough tokens for the first flow feed
         first_gen_needed = max(hop + prompt_pad + la, 1)
-        state = self._lm_prefill_chunk_fn(p_bucket, max_gen)(
-            self.params["llm"], jnp.asarray(ids), jnp.asarray(src), pl,
-            min_a, max_a, self._next_rng(), jnp.asarray(first_gen_needed),
-        )
+        with self.timer.stage("lm_prefill_chunk"):
+            state = self._lm_prefill_chunk_fn(p_bucket, max_gen)(
+                self.params["llm"], jnp.asarray(ids), jnp.asarray(src), pl,
+                min_a, max_a, self._next_rng(), jnp.asarray(first_gen_needed),
+            )
 
         gen_cache = {"arr": np.zeros(0, np.int32)}
         # rollover bookkeeping: positions in the flow state are VIRTUAL after
@@ -753,28 +894,8 @@ class TTSModel:
                 )
             return (np.asarray(mel) if materialize else mel), fstate
 
-        # ---- prompt priming (cached per prompt) ----
-        # Feed all full prompt chunks once, snapshot the state; later requests
-        # with the same prompt clone the snapshot (prompt reuse is the serving
-        # common case: add_zero_shot_spk / cached speakers).
-        prompt_only = (P // hop) * hop
-        if prompt_only and P - prompt_only < la:
-            prompt_only -= hop  # context for the last prime feed must be prompt tokens
-        pk = (P, prompt.flow_prompt_speech_tokens[: min(P, 16)].tobytes())
-        clone = lambda st: jax.tree.map(jnp.copy, st)
-        primed = pk in self._primed_cache
-
-        def prime_state():
-            fstate = init_flow_stream_state(cfg.flow, self.stream_max_tokens, dtype=dtype)
-            t = 0
-            for n in self._decompose_feed(prompt_only):
-                _, fstate = feed(fstate, t, n, materialize=False)  # mel discarded
-                t += n
-            if len(self._primed_cache) >= 4:  # bound HBM held by snapshots
-                self._primed_cache.pop(next(iter(self._primed_cache)))
-            self._primed_cache[pk] = clone(fstate)
-            return fstate
-
+        # ---- prompt priming (cached per prompt, _primed_flow_state) ----
+        prompt_only = self._prompt_prime_len(P, hop, la)
         t_fed = prompt_only
         emitted_tokens = 0  # generated tokens already vocoded
         mel_buf = np.zeros((1, cfg.flow.output_size, 0), np.float32)
@@ -811,9 +932,7 @@ class TTSModel:
                     first_tokens, prompt, 0, session, True, False
                 )
             yield audio
-            fstate = (
-                clone(self._primed_cache[pk]) if primed else prime_state()
-            )
+            fstate, _ = self._primed_flow_state(prompt)
             # catch the cached state up over the already-emitted region
             _, fstate = feed(fstate, t_fed, next_feed, materialize=False)
             t_fed += next_feed
@@ -823,14 +942,12 @@ class TTSModel:
         elif bool(finished) or int(step) >= state.tokens.shape[1]:
             # utterance shorter than one hop: the final recompute below
             # handles it; the cached state is never fed, so unprimed is fine
-            fstate = init_flow_stream_state(
-                cfg.flow, self.stream_max_tokens, dtype=dtype
-            )
+            fstate = self._init_state_fn(dtype)()
         else:
             # LM still running but short of a first chunk (unreachable with
             # the decode loop above; kept as a safety net): any later cached
             # emission MUST see the prompt prefix, so prime properly.
-            fstate = clone(self._primed_cache[pk]) if primed else prime_state()
+            fstate, _ = self._primed_flow_state(prompt)
         def rollover(t_fed_old):
             """Window re-prime: fresh state over prompt + the last
             `stream_rollover_window` generated tokens.  Cost is bounded
@@ -848,10 +965,7 @@ class TTSModel:
             w = self.stream_rollover_window
             w += (-(base + w)) % hop
             j0 = max(0, g_fed - w)
-            fstate = (
-                clone(self._primed_cache[pk]) if pk in self._primed_cache
-                else prime_state()
-            )
+            fstate, _ = self._primed_flow_state(prompt)
             pos["gen_base"] = j0
             t = prompt_only
             total = P + (g_fed - j0)

@@ -42,8 +42,6 @@ class StreamSession:
     cached streaming path, reference token2wav schedule cli/model.py:353-381)."""
 
     def __init__(self, model, prompt: PromptInputs, speed: float = 1.0):
-        from cosyvoice2_eu_tpu.models.flow_streaming import init_flow_stream_state
-
         self.model = model
         self.prompt = prompt
         # speed != 1.0 is non-stream-only (reference assertion, cli/model.py):
@@ -59,22 +57,17 @@ class StreamSession:
         self.prompt_pad = int(np.ceil(self.P / self.hop) * self.hop - self.P)
         self.prompt_mel = self.P * self.ratio
         self.session: dict = {"hift_cache": None}
-        self.sparams = model._get_stream_params()
-        dtype = model.params["flow"]["input_embedding"]["weight"].dtype
+        self.sparams = None if self.single_shot else model._get_stream_params()
 
-        prompt_only = (self.P // self.hop) * self.hop
-        if prompt_only and self.P - prompt_only < self.la:
-            prompt_only -= self.hop
-        if self.single_shot:
-            self.fstate = None  # no incremental flow; skip the cache alloc
-        else:
-            self.fstate = init_flow_stream_state(
-                cfg.flow, model.stream_max_tokens, dtype=dtype
-            )
-            t = 0
-            for n in model._decompose_feed(prompt_only):
-                self._feed(t, n, np.zeros(0, np.int32))
-                t += n
+        prompt_only = model._prompt_prime_len(self.P, self.hop, self.la)
+        # LAZY state: no flow dispatches until the first emission.  The first
+        # chunk goes through the one-dispatch recompute program (same trick
+        # as the direct path, runtime/model.py _tts_stream_cached first
+        # chunk); the cached state is primed and caught up behind the
+        # already-yielded audio.  Session construction is pure host work, so
+        # engine staging never serializes priming across requests.
+        self.fstate = None
+        self.first_pending = not self.single_shot
         self.t_fed = prompt_only
         self.next_feed = (self.P - prompt_only) + self.prompt_pad + self.hop
         self.this_hop = self.hop + self.prompt_pad
@@ -92,7 +85,7 @@ class StreamSession:
             )
         return out
 
-    def _feed(self, t0: int, n: int, gen: np.ndarray):
+    def _feed(self, t0: int, n: int, gen: np.ndarray, materialize: bool = True):
         cfg = self.model.cfg
         tok = self._combined(t0, n, gen)[None]
         ctx = self._combined(t0 + n, self.la, gen)[None]
@@ -105,7 +98,7 @@ class StreamSession:
             self.sparams, self.fstate, jnp.asarray(tok), jnp.asarray(ctx),
             jnp.asarray(self.prompt.embedding[None]), jnp.asarray(cond),
         )
-        return np.asarray(mel)
+        return np.asarray(mel) if materialize else mel
 
     def feed(self, gen_tokens: np.ndarray, lm_finished: bool,
              fetch: bool = True) -> list:
@@ -132,6 +125,31 @@ class StreamSession:
                 )
                 self.done = True
             return out
+        if self.first_pending:
+            need = self.this_hop + self.la
+            # the catch-up boundary feed must fit the cached window; when the
+            # cap is smaller than prompt+first hop (degenerate config), skip
+            # the cached path entirely — finalize drains in stream chunks
+            fits = self.t_fed + self.next_feed <= model.stream_max_tokens
+            if len(gen_tokens) >= need and fits:
+                # first emission via the one-dispatch recompute program
+                # (prompt + first hop); the cached state is primed (from the
+                # model's per-prompt snapshot cache when warm) and caught up
+                # with one discarded boundary feed — cached == recompute is
+                # equality-verified, so the mix is exact
+                out.append(
+                    model._token2wav(
+                        np.asarray(gen_tokens[:need], np.int32), self.prompt,
+                        0, self.session, True, False,
+                    )
+                )
+                self.first_apply(gen_tokens)
+            elif lm_finished:
+                out.extend(self._finalize(np.asarray(gen_tokens, np.int32)))
+                self.done = True
+                return out
+            else:
+                return out
         avail = self.P + len(gen_tokens)
         while (
             avail >= self.t_fed + self.next_feed + self.la
@@ -187,6 +205,63 @@ class StreamSession:
         if fetch:
             return [np.asarray(c) for c in out]
         return out
+
+    # -- slot-batched steady-state hooks (TTSEngine groups sessions) --------
+
+    def first_ready(self, gen_tokens: np.ndarray) -> bool:
+        """True iff the next action is the first emission (batchable)."""
+        return (
+            not self.done
+            and not self.single_shot
+            and self.first_pending
+            and len(gen_tokens) >= self.this_hop + self.la
+            and self.t_fed + self.next_feed <= self.model.stream_max_tokens
+        )
+
+    def first_apply(self, gen_tokens: np.ndarray):
+        """Commit the first emission: prime the cached state (per-prompt
+        snapshot cache) and catch it up behind the already-emitted audio
+        with one discarded boundary feed."""
+        self.fstate, _ = self.model._primed_flow_state(self.prompt)
+        self._feed(self.t_fed, self.next_feed, gen_tokens, materialize=False)
+        self.t_fed += self.next_feed
+        self.emitted = self.this_hop
+        self.this_hop = self.hop
+        self.next_feed = self.hop
+        self.first_pending = False
+
+    def wants_steady(self, gen_tokens: np.ndarray) -> bool:
+        """True iff the next action is exactly one steady-state fused chunk
+        (the batchable common case; mirrors the fused-path guard in feed)."""
+        return (
+            not self.done
+            and not self.single_shot
+            and not self.first_pending
+            and self.next_feed == self.hop
+            and self.this_hop == self.hop
+            and self.mel_buf.shape[2] == 0
+            and self.t_fed >= self.P
+            and self.t_fed + self.hop <= self.model.stream_max_tokens
+            and self.P + len(gen_tokens) >= self.t_fed + self.hop + self.la
+            and self.model._fused_cache_ok(self.session)
+        )
+
+    def steady_inputs(self, gen_tokens: np.ndarray):
+        """(tok, ctx, cond) host rows + hift cache arrays for one chunk."""
+        tok = self._combined(self.t_fed, self.hop, gen_tokens)
+        ctx = self._combined(self.t_fed + self.hop, self.la, gen_tokens)
+        cond = np.zeros(
+            (self.hop * self.ratio, self.model.cfg.flow.output_size), np.float32
+        )  # t_fed >= P: past the prompt-feat region
+        cache = self.session["hift_cache"]
+        return tok, ctx, cond, cache["mel"], cache["source"], cache["speech"]
+
+    def steady_apply(self, fstate, c_mel, c_src, c_sp):
+        """Commit one steady chunk's state rotation (audio handled by caller)."""
+        self.fstate = fstate
+        self.session["hift_cache"] = {"mel": c_mel, "source": c_src, "speech": c_sp}
+        self.t_fed += self.hop
+        self.emitted += self.hop
 
     def _finalize(self, gen: np.ndarray) -> list:
         """Flush the tail through the reference finalize recompute, windowing
@@ -429,6 +504,109 @@ class TTSEngine:
                     req.failed = msg
                     req.out.put(None)
 
+    def _first_batch(self, group, tokens, lengths):
+        """Batched first emissions: ONE batched flow recompute + ONE batched
+        HiFT for every session awaiting its first chunk (rows share a token
+        bucket; per-row valid lengths cut on the host, like tts_batch).
+        Sequential per-session recomputes were ~90 ms each — the dominant
+        term of cold 4-stream TTFA.  Returns per-session HOST audio rows."""
+        from cosyvoice2_eu_tpu.runtime.model import FLOW_TOKEN_BUCKETS
+
+        model = self.model
+        cfg = model.cfg
+        ratio = cfg.flow.token_mel_ratio
+        la = model.pre_lookahead_len
+        up = cfg.hift.upsample_scale
+        sc = model.source_cache_len
+        sessions = [req.session for _, req in group]
+        gens = [tokens[slot, : int(lengths[slot])] for slot, _ in group]
+        needs = [s.this_hop + la for s in sessions]
+        totals = [s.P + n for s, n in zip(sessions, needs)]
+        if max(totals) > FLOW_TOKEN_BUCKETS[-1]:
+            raise ValueError("prompt exceeds flow bucket; use per-session path")
+        b = len(group)
+        tok_bucket = bucket_for(max(totals), buckets=FLOW_TOKEN_BUCKETS)
+        tok_arr = np.zeros((b, tok_bucket), np.int32)
+        feat = np.zeros((b, tok_bucket * ratio, cfg.flow.output_size), np.float32)
+        feat_len = np.zeros((b,), np.int32)
+        emb = np.stack([s.prompt.embedding for s in sessions])
+        for i, s in enumerate(sessions):
+            sp = s.prompt.flow_prompt_speech_tokens.astype(np.int32)
+            tok_arr[i, : s.P] = sp
+            tok_arr[i, s.P : totals[i]] = gens[i][: needs[i]]
+            feat[i, : s.prompt.prompt_feat.shape[0]] = s.prompt.prompt_feat
+            feat_len[i] = s.prompt.prompt_feat.shape[0]
+        flow_fn = model._flow_fn(tok_bucket, True, False)
+        mel = np.asarray(
+            flow_fn(
+                model.params["flow"], jnp.asarray(tok_arr),
+                jnp.asarray(totals, jnp.int32), jnp.asarray(feat),
+                jnp.asarray(feat_len), jnp.asarray(emb),
+            )
+        )
+        tts_mels = [
+            mel[i, :, int(feat_len[i]) : (totals[i] - la) * ratio]
+            for i in range(b)
+        ]
+        mel_lens = [m.shape[1] for m in tts_mels]
+        h_bucket = bucket_for(
+            max(mel_lens), buckets=(32, 64, 128, 256, 512, 1024, 2048)
+        )
+        mel_in = np.zeros((b, cfg.flow.output_size, h_bucket), np.float32)
+        for i, m in enumerate(tts_mels):
+            mel_in[i, :, : m.shape[1]] = m
+            mel_in[i, :, m.shape[1] :] = m[:, -1:]
+        hift_fn = model._hift_fn(h_bucket, True)
+        audio, source = hift_fn(
+            model.params["hift"], jnp.asarray(mel_in), model._next_rng(),
+            jnp.zeros((b, 1, sc), jnp.float32), jnp.asarray(0),
+        )
+        audio, source = jax.device_get((audio, source))
+        out = []
+        for i, s in enumerate(sessions):
+            n_samples = mel_lens[i] * up
+            a = audio[i, :n_samples]
+            s.session["hift_cache"] = {
+                "mel": tts_mels[i][None, :, -model.mel_cache_len :],
+                "source": source[i : i + 1, :, n_samples - sc : n_samples],
+                "speech": a[-sc:],
+            }
+            s.first_apply(gens[i])
+            out.append(a[:-sc])
+        return out
+
+    def _steady_batch(self, group, tokens, lengths):
+        """One slot-batched fused chunk for `group` sessions; returns the
+        per-session audio rows as DEVICE arrays (fetched later in the loop's
+        single batched device_get)."""
+        model = self.model
+        hop = model.token_hop_len
+        rows = [
+            req.session.steady_inputs(tokens[slot, : int(lengths[slot])])
+            for slot, req in group
+        ]
+        tok = np.stack([r[0] for r in rows])
+        ctx = np.stack([r[1] for r in rows])
+        cond = np.stack([r[2] for r in rows])
+        emb = np.stack([req.prompt.embedding for _, req in group])
+        c_mel = jnp.concatenate([jnp.asarray(r[3]) for r in rows], axis=0)
+        c_src = jnp.concatenate([jnp.asarray(r[4]) for r in rows], axis=0)
+        c_sp = jnp.stack([jnp.asarray(r[5]) for r in rows], axis=0)
+        states = tuple(req.session.fstate for _, req in group)
+        fused = model._stream_chunk_fused_batch_fn(hop, len(group))
+        states_out, audio, c_mel2, c_src2, c_sp2 = fused(
+            model._get_stream_params(), states, jnp.asarray(tok),
+            jnp.asarray(ctx), jnp.asarray(emb), jnp.asarray(cond),
+            model.params["hift"], model._next_rng(), c_mel, c_src, c_sp,
+        )
+        out = []
+        for i, (slot, req) in enumerate(group):
+            req.session.steady_apply(
+                states_out[i], c_mel2[i : i + 1], c_src2[i : i + 1], c_sp2[i]
+            )
+            out.append(audio[i])
+        return out
+
     def _loop_once(self):
         # stage pending requests (pure prefill dispatch + session build) the
         # moment they arrive — even while every slot is busy — so the device
@@ -484,20 +662,60 @@ class TTSEngine:
             self._pending_harvest = None
         tokens, lengths, finished = jax.device_get(harvest)
         skip, self._harvest_skip = self._harvest_skip, set()
+        active_rows = [
+            (slot, req) for slot, req in enumerate(self._slots)
+            if req is not None and slot not in skip
+        ]
+        # slot-batched steady-state rounds: every session whose next action
+        # is exactly one fused chunk advances in a SINGLE batched dispatch
+        # (vmapped flow feeds + one batched HiFT) — n sessions vocode for
+        # ~the price of one instead of n sequential 85 ms dispatches
+        batched: dict = {slot: [] for slot, _ in active_rows}
+        firsts = [
+            (slot, req) for slot, req in active_rows
+            if req.failed is None
+            and req.session.first_ready(tokens[slot, : int(lengths[slot])])
+        ]
+        if len(firsts) >= 2:
+            try:
+                rows = self._first_batch(firsts, tokens, lengths)
+                for (slot, _), audio in zip(firsts, rows):
+                    batched[slot].append(audio)
+            except ValueError:
+                pass  # oversized prompt row: per-session feed handles it
+            except Exception as e:
+                for _, req in firsts:
+                    req.failed = str(e)
+        while True:
+            group = [
+                (slot, req) for slot, req in active_rows
+                if req.failed is None
+                and req.session.wants_steady(tokens[slot, : int(lengths[slot])])
+            ]
+            if len(group) < 2:  # singles keep the existing fused program
+                break
+            try:
+                rows = self._steady_batch(group, tokens, lengths)
+            except Exception as e:
+                for _, req in group:
+                    req.failed = str(e)
+                break
+            for (slot, _), audio_d in zip(group, rows):
+                batched[slot].append(audio_d)
         # two passes: feed (dispatch vocode) for EVERY active session first,
         # then fetch+enqueue the audio — session A's device->host transfer
         # overlaps session B's vocode compute (fetch=False defers np.asarray)
         results = []
-        for slot, req in enumerate(self._slots):
-            if req is None or slot in skip:
-                continue
+        for slot, req in active_rows:
             n = int(lengths[slot])
-            done = bool(finished[slot])
-            chunks: list = []
-            if n > req.harvested or done:
+            done = bool(finished[slot]) or req.failed is not None
+            chunks: list = batched[slot]
+            if req.failed is None and (n > req.harvested or done):
                 req.harvested = n
                 try:
-                    chunks = req.session.feed(tokens[slot, :n], done, fetch=False)
+                    chunks = chunks + req.session.feed(
+                        tokens[slot, :n], done, fetch=False
+                    )
                 except Exception as e:
                     req.failed = str(e)
                     done = True
