@@ -316,8 +316,8 @@ def train_bench(cfg, out: dict):
             6.0 * n_params * tok_per_step / dt / peak_flops, 4)
     del state, params
 
-    # ---- flow train step ----
-    Bf, Tt = (2, 16) if tiny else (4, 192)
+    # ---- flow train step (production-shaped batch, VERDICT r4 next #4) ----
+    Bf, Tt = (2, 16) if tiny else (16, 192)
     Tm = Tt * cfg.flow.token_mel_ratio
     fbatch = {
         "speech_token": jnp.asarray(
@@ -350,6 +350,45 @@ def train_bench(cfg, out: dict):
     except Exception:
         pass
     del fstate, fparams
+
+    # ---- GAN (HiFT) train step: disc turn + gen turn per batch, the
+    # reference executor's alternation (utils/executor.py:88-144) ----
+    from cosyvoice2_eu_tpu.models.hift import init_hift
+    from cosyvoice2_eu_tpu.train.gan import init_discriminator
+    from cosyvoice2_eu_tpu.train.train_gan import make_gan_steps
+
+    Bg, Sg = (2, 4800) if tiny else (8, 24480)  # truncate_length crops
+    Tg = Sg // cfg.mel.hop_size
+    gbatch = {
+        "speech": jnp.asarray(
+            rng.standard_normal((Bg, Sg)) * 0.1, jnp.float32),
+        "speech_feat": jnp.asarray(
+            rng.standard_normal((Bg, Tg, cfg.mel.num_mels)), jnp.float32),
+        "pitch_feat": jnp.asarray(
+            np.abs(rng.standard_normal((Bg, Tg))) * 200, jnp.float32),
+    }
+    import optax as _optax
+
+    tx_g = _optax.chain(_optax.clip_by_global_norm(5.0), _optax.adam(2e-4))
+    # fp32: HiFT's source-phase/iSTFT numerics do not tolerate bf16
+    gen_params = init_hift(jax.random.key(8), cfg.hift)
+    disc_params = init_discriminator(jax.random.key(9))
+    opt_g, opt_d = tx_g.init(gen_params), tx_g.init(disc_params)
+    gen_step, disc_step = make_gan_steps(cfg, tx_g, tx_g)
+    key = jax.random.key(11)
+    disc_params, opt_d, dm = disc_step(disc_params, opt_d, gen_params, gbatch, key)
+    gen_params, opt_g, gm = gen_step(gen_params, opt_g, disc_params, gbatch, key)
+    _force((dm["loss"], gm["loss"]))
+    t0 = time.time()
+    for _ in range(N):
+        disc_params, opt_d, dm = disc_step(disc_params, opt_d, gen_params, gbatch, key)
+        gen_params, opt_g, gm = gen_step(gen_params, opt_g, disc_params, gbatch, key)
+    _force((dm["loss"], gm["loss"]))
+    dtg = (time.time() - t0) / N
+    out["train_gan_ms_per_step"] = round(dtg * 1e3, 1)
+    out["train_gan_batch"] = f"{Bg}x{Sg}"
+    out["train_gan_audio_s_per_s"] = round(Bg * Sg / cfg.mel.sampling_rate / dtg, 1)
+    del gen_params, disc_params, opt_g, opt_d
 
     # ---- host data-pipeline throughput (parquet -> padded batches) ----
     import pyarrow as pa

@@ -71,17 +71,18 @@ def main(argv=None):
 
     from cosyvoice2_eu_tpu.frontend.tokenizer import get_tokenizer
     from cosyvoice2_eu_tpu.models.hift import init_hift
-    from cosyvoice2_eu_tpu.ops.mel import mel_spectrogram
+    from cosyvoice2_eu_tpu.ops.mel import mel_spectrogram_np
 
     tokenizer = get_tokenizer(args.qwen_pretrain_path)
 
     def mel_fn(wav: np.ndarray) -> np.ndarray:
+        # host numpy: no per-utterance device round trip (train/train.py does
+        # the same); GAN mel targets cap fmax at 8 kHz like the reference
         m = cfg.mel
-        out = mel_spectrogram(
-            jnp.asarray(wav[None]), m.n_fft, m.num_mels, m.sampling_rate,
+        return mel_spectrogram_np(
+            wav, m.n_fft, m.num_mels, m.sampling_rate,
             m.hop_size, m.win_size, m.fmin, 8000.0, m.center,
-        )
-        return np.asarray(out)[0].T
+        ).T
 
     mesh = make_mesh(dp=-1, fsdp=1)
     gen_params = init_hift(jax.random.key(args.seed), cfg.hift)

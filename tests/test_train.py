@@ -406,3 +406,41 @@ def test_make_schedule_annealing_names():
         s = make_schedule(cfg)
         vals = [float(s(t)) for t in (0, 4, 50, 100, 120)]
         assert all(np.isfinite(v) and v >= 0 for v in vals), (name, vals)
+
+
+def test_gan_steps_run_and_update():
+    """Discriminator + generator alternation (train_gan.make_gan_steps):
+    both steps run on a tiny batch, losses are finite, params update."""
+    import optax
+
+    from cosyvoice2_eu_tpu.models.hift import init_hift
+    from cosyvoice2_eu_tpu.train.gan import init_discriminator
+    from cosyvoice2_eu_tpu.train.train_gan import make_gan_steps
+
+    cfg = tiny_test_config()
+    rng = np.random.default_rng(0)
+    Bg, Sg = 2, cfg.mel.hop_size * 8
+    Tg = Sg // cfg.mel.hop_size
+    batch = {
+        "speech": jnp.asarray(rng.standard_normal((Bg, Sg)) * 0.1, jnp.float32),
+        "speech_feat": jnp.asarray(
+            rng.standard_normal((Bg, Tg, cfg.hift.in_channels)), jnp.float32),
+        "pitch_feat": jnp.asarray(
+            np.abs(rng.standard_normal((Bg, Tg))) * 200, jnp.float32),
+    }
+    tx = optax.adam(2e-4)
+    gen = init_hift(jax.random.key(0), cfg.hift)
+    disc = init_discriminator(jax.random.key(1))
+    opt_g, opt_d = tx.init(gen), tx.init(disc)
+    gen_step, disc_step = make_gan_steps(cfg, tx, tx)
+    key = jax.random.key(2)
+    gen_before = jax.tree.map(np.asarray, gen)  # steps donate their params
+    disc2, opt_d, dm = disc_step(disc, opt_d, gen, batch, key)
+    gen2, opt_g, gm = gen_step(gen, opt_g, disc2, batch, key)
+    assert np.isfinite(float(dm["loss"])) and np.isfinite(float(gm["loss"]))
+    # something actually moved
+    moved = any(
+        not np.allclose(np.asarray(a), b)
+        for a, b in zip(jax.tree.leaves(gen2), jax.tree.leaves(gen_before))
+    )
+    assert moved
