@@ -7,7 +7,9 @@ of ``x @ w_q.T.astype(bf16)`` materializes the dequantized bf16 weights through
 HBM on TPU (int8 read + bf16 write + bf16 dot read ~= 2.5x the bf16 bytes), so
 weight-only int8 saw only ~15% of its theoretical 2x.  This kernel reads the
 int8 weights from HBM exactly once and converts in VMEM registers on the way
-into the MXU, so per-token weight traffic truly halves.
+into the MXU; by the bytes-moved arithmetic that halves per-token weight
+traffic (see BENCH_r05 lm_ms_per_token_int8 for the measured on-chip ratio —
+r4's 12% number was distorted by a fixed per-call KV fetch in the harness).
 
 y = x @ w_q.T   (the per-output-channel scale / bias are applied by the caller
 on the tiny (M, N) result, where they fuse into one elementwise op).

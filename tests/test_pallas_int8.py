@@ -56,3 +56,29 @@ def test_dense_int8_pallas_path_matches_xla_path(monkeypatch):
     y_ref = dense(p, x)
     err = np.abs(np.asarray(y_pl) - np.asarray(y_ref)).mean()
     assert err < 0.1
+
+
+def test_int8_lm_logits_close_to_bf16():
+    """End-to-end quality pin: int8 weight-only LM logits must track the
+    bf16 logits closely enough that sampling behavior is preserved
+    (VERDICT r4 next #5: no parity test pinned int8 vs bf16 quality)."""
+    from cosyvoice2_eu_tpu.config import tiny_test_config
+    from cosyvoice2_eu_tpu.models import llm as llm_mod
+    from cosyvoice2_eu_tpu.utils.params import quantize_lm_params
+
+    cfg = tiny_test_config().llm
+    params = llm_mod.init_lm(jax.random.key(0), cfg)
+    qparams = quantize_lm_params(params)
+    rng = np.random.default_rng(1)
+    ids = jnp.asarray(rng.integers(2, 100, (2, 24)), jnp.int32)
+    src = jnp.asarray(rng.integers(0, 3, (2, 24)), jnp.int32)
+    valid = jnp.ones((2, 24), bool)
+
+    logits = np.asarray(llm_mod.lm_training_hidden(params, cfg, ids, src, valid))
+    logits_q = np.asarray(llm_mod.lm_training_hidden(qparams, cfg, ids, src, valid))
+    # per-channel symmetric int8 keeps logits within a tight relative band
+    scale = np.abs(logits).max()
+    assert np.abs(logits_q - logits).max() / scale < 0.05
+    # rank agreement: the argmax token survives quantization on ~all steps
+    agree = (logits_q.argmax(-1) == logits.argmax(-1)).mean()
+    assert agree > 0.9
