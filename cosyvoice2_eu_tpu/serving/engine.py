@@ -151,26 +151,32 @@ class StreamSession:
             else:
                 return out
         avail = self.P + len(gen_tokens)
-        while (
-            avail >= self.t_fed + self.next_feed + self.la
-            and self.t_fed + self.next_feed <= model.stream_max_tokens
-        ):
+        while True:
             if (
                 self.next_feed == self.hop and self.this_hop == self.hop
                 and self.mel_buf.shape[2] == 0 and self.t_fed >= self.P
                 and model._fused_cache_ok(self.session)
             ):
                 # steady state: one fused dispatch (flow + HiFT + crossfade +
-                # cache rotation), caches stay on device — halves the
-                # per-chunk dispatch/fetch count of the unfused path below
-                tok = self._combined(self.t_fed, self.hop, gen_tokens)[None]
-                ctx = self._combined(self.t_fed + self.hop, self.la, gen_tokens)[None]
+                # cache rotation), caches stay on device.  The chunk size
+                # escalates to 2 hops once the stream has a few seconds of
+                # lead: the cached chunk's cost is op-count-bound (nearly
+                # independent of n), so double chunks halve the per-audio-
+                # second vocode cost at no TTFA expense.
+                h = self._cur_hop()
+                if not (
+                    avail >= self.t_fed + h + self.la
+                    and self.t_fed + h <= model.stream_max_tokens
+                ):
+                    break  # wait for enough tokens for the full chunk
+                tok = self._combined(self.t_fed, h, gen_tokens)[None]
+                ctx = self._combined(self.t_fed + h, self.la, gen_tokens)[None]
                 cond = np.zeros(
-                    (1, self.hop * self.ratio, model.cfg.flow.output_size),
+                    (1, h * self.ratio, model.cfg.flow.output_size),
                     np.float32,
                 )  # t_fed >= P: past the prompt-feat region
                 cache = self.session["hift_cache"]
-                fused = model._stream_chunk_fused_fn(self.hop)
+                fused = model._stream_chunk_fused_fn(h)
                 self.fstate, audio_d, c_mel, c_src, c_sp = fused(
                     self.sparams, self.fstate, jnp.asarray(tok),
                     jnp.asarray(ctx), jnp.asarray(self.prompt.embedding[None]),
@@ -182,9 +188,14 @@ class StreamSession:
                     "mel": c_mel, "source": c_src, "speech": c_sp,
                 }
                 out.append(audio_d)  # device array; fetched below or by caller
-                self.t_fed += self.hop
-                self.emitted += self.hop
+                self.t_fed += h
+                self.emitted += h
                 continue
+            if not (
+                avail >= self.t_fed + self.next_feed + self.la
+                and self.t_fed + self.next_feed <= model.stream_max_tokens
+            ):
+                break
             mel = self._feed(self.t_fed, self.next_feed, gen_tokens)
             start = max(0, self.prompt_mel - self.t_fed * self.ratio)
             self.mel_buf = np.concatenate([self.mel_buf, mel[:, :, start:]], axis=2)
@@ -230,38 +241,58 @@ class StreamSession:
         self.next_feed = self.hop
         self.first_pending = False
 
+    def _cur_hop(self) -> int:
+        """Steady chunk size: 1 hop while the stream builds lead, then 2 and
+        4 hops (cap permitting).  The cached chunk's device cost is
+        op-count-bound — nearly independent of n — so bigger chunks divide
+        the per-audio-second vocode cost; the listener is seconds ahead by
+        the time chunks grow, so pacing is unaffected."""
+        cap = self.model.stream_max_tokens
+        for mult, lead_chunks in ((4, 8), (2, 4)):
+            if (
+                self.emitted >= lead_chunks * self.hop
+                and self.t_fed + mult * self.hop <= cap
+            ):
+                return mult * self.hop
+        return self.hop
+
     def wants_steady(self, gen_tokens: np.ndarray) -> bool:
         """True iff the next action is exactly one steady-state fused chunk
         (the batchable common case; mirrors the fused-path guard in feed)."""
+        if (
+            self.done
+            or self.single_shot
+            or self.first_pending
+            or self.next_feed != self.hop
+            or self.this_hop != self.hop
+            or self.mel_buf.shape[2] != 0
+            or self.t_fed < self.P
+            or not self.model._fused_cache_ok(self.session)
+        ):
+            return False
+        h = self._cur_hop()
         return (
-            not self.done
-            and not self.single_shot
-            and not self.first_pending
-            and self.next_feed == self.hop
-            and self.this_hop == self.hop
-            and self.mel_buf.shape[2] == 0
-            and self.t_fed >= self.P
-            and self.t_fed + self.hop <= self.model.stream_max_tokens
-            and self.P + len(gen_tokens) >= self.t_fed + self.hop + self.la
-            and self.model._fused_cache_ok(self.session)
+            self.t_fed + h <= self.model.stream_max_tokens
+            and self.P + len(gen_tokens) >= self.t_fed + h + self.la
         )
 
     def steady_inputs(self, gen_tokens: np.ndarray):
         """(tok, ctx, cond) host rows + hift cache arrays for one chunk."""
-        tok = self._combined(self.t_fed, self.hop, gen_tokens)
-        ctx = self._combined(self.t_fed + self.hop, self.la, gen_tokens)
+        h = self._cur_hop()
+        tok = self._combined(self.t_fed, h, gen_tokens)
+        ctx = self._combined(self.t_fed + h, self.la, gen_tokens)
         cond = np.zeros(
-            (self.hop * self.ratio, self.model.cfg.flow.output_size), np.float32
+            (h * self.ratio, self.model.cfg.flow.output_size), np.float32
         )  # t_fed >= P: past the prompt-feat region
         cache = self.session["hift_cache"]
         return tok, ctx, cond, cache["mel"], cache["source"], cache["speech"]
 
-    def steady_apply(self, fstate, c_mel, c_src, c_sp):
+    def steady_apply(self, h: int, fstate, c_mel, c_src, c_sp):
         """Commit one steady chunk's state rotation (audio handled by caller)."""
         self.fstate = fstate
         self.session["hift_cache"] = {"mel": c_mel, "source": c_src, "speech": c_sp}
-        self.t_fed += self.hop
-        self.emitted += self.hop
+        self.t_fed += h
+        self.emitted += h
 
     def _finalize(self, gen: np.ndarray) -> list:
         """Flush the tail through the reference finalize recompute, windowing
@@ -580,7 +611,7 @@ class TTSEngine:
         per-session audio rows as DEVICE arrays (fetched later in the loop's
         single batched device_get)."""
         model = self.model
-        hop = model.token_hop_len
+        hop = group[0][1].session._cur_hop()  # group is homogeneous in hop
         rows = [
             req.session.steady_inputs(tokens[slot, : int(lengths[slot])])
             for slot, req in group
@@ -602,7 +633,8 @@ class TTSEngine:
         out = []
         for i, (slot, req) in enumerate(group):
             req.session.steady_apply(
-                states_out[i], c_mel2[i : i + 1], c_src2[i : i + 1], c_sp2[i]
+                hop, states_out[i], c_mel2[i : i + 1], c_src2[i : i + 1],
+                c_sp2[i],
             )
             out.append(audio[i])
         return out
@@ -687,12 +719,18 @@ class TTSEngine:
                 for _, req in firsts:
                     req.failed = str(e)
         while True:
-            group = [
+            ready = [
                 (slot, req) for slot, req in active_rows
                 if req.failed is None
                 and req.session.wants_steady(tokens[slot, : int(lengths[slot])])
             ]
-            if len(group) < 2:  # singles keep the existing fused program
+            # group by current chunk size (sessions escalate to double
+            # chunks at different times)
+            by_hop: dict = {}
+            for slot, req in ready:
+                by_hop.setdefault(req.session._cur_hop(), []).append((slot, req))
+            group = next((g for g in by_hop.values() if len(g) >= 2), None)
+            if group is None:  # singles keep the existing fused program
                 break
             try:
                 rows = self._steady_batch(group, tokens, lengths)
