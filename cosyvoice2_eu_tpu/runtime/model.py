@@ -491,6 +491,31 @@ class TTSModel:
         self._rng, sub = jax.random.split(self._rng)
         return sub
 
+    @functools.cached_property
+    def _fetch_i16(self) -> bool:
+        """Fetch audio device->host as int16 (half the bytes of f32): the
+        serving wire format is int16 PCM anyway, and on a remote-attached
+        TPU the audio transfer is the dominant cost of a warm stream.  Off
+        on CPU (tests stay bit-exact; there is no transfer to save)."""
+        import os
+
+        override = os.environ.get("COSY_FETCH_I16")
+        if override is not None:
+            return override == "1"
+        return jax.default_backend() == "tpu"
+
+    def _audio_i16(self, audio_dev):
+        """Device-side float32 -> int16 PCM (dispatch before the fetch)."""
+        return jnp.clip(
+            audio_dev * 32767.0, -32768.0, 32767.0
+        ).astype(jnp.int16)
+
+    def _fetch_audio(self, audio_dev) -> np.ndarray:
+        """One audio transfer, int16-packed when enabled."""
+        if self._fetch_i16:
+            return np.asarray(self._audio_i16(audio_dev)).astype(np.float32) / 32767.0
+        return np.asarray(audio_dev)
+
     def _finalize_full(
         self,
         tokens: np.ndarray,
@@ -547,9 +572,13 @@ class TTSModel:
                 jnp.asarray([prompt_mel_len]),
                 jnp.asarray(p.embedding[None]),
             )
-            mel = np.asarray(mel)  # (1, 80, mel_bucket-ish)
-        mel_valid = total * ratio if finalize else (total - self.pre_lookahead_len) * ratio
-        tts_mel = mel[:, :, prompt_mel_len + token_offset * ratio : mel_valid]
+            # slice DEVICE-side, then fetch: the full bucket mel is ~0.5 MB
+            # over the tunnel while the needed window is often a few KB
+            mel_valid = total * ratio if finalize \
+                else (total - self.pre_lookahead_len) * ratio
+            tts_mel = np.asarray(
+                mel[:, :, prompt_mel_len + token_offset * ratio : mel_valid]
+            )
 
         return self._hift_chunk(tts_mel, session, finalize, speed)
 
@@ -595,15 +624,20 @@ class TTSModel:
                 jnp.asarray(c_len),
             )
             n_samples = T_mel * self.cfg.hift.upsample_scale
-            audio = np.asarray(audio)[0, :n_samples]
-            source = np.asarray(source)[:, :, :n_samples]
+            # device-side slices, int16 audio: fetch only the valid samples
+            # (the padded hift bucket is up to 4x the chunk) at half width
+            audio = self._fetch_audio(audio[0, :n_samples])
+            sc = self.source_cache_len
+            source = np.asarray(
+                source[:, :, max(n_samples - sc, 0) : n_samples]
+            )
 
         if not finalize:
             if cache is not None:
                 audio = _fade_in_out(audio, cache["speech"], self.speech_window)
             session["hift_cache"] = {
                 "mel": tts_mel[:, :, -self.mel_cache_len :],
-                "source": source[:, :, -self.source_cache_len :],
+                "source": source,
                 "speech": audio[-self.source_cache_len :],
             }
             audio = audio[: -self.source_cache_len]
@@ -1070,7 +1104,7 @@ class TTSModel:
                             jnp.asarray(int(step) + hop + la),
                         )
                         stale = True
-                    audio = np.asarray(audio_d)
+                    audio = self._fetch_audio(audio_d)
                 session["hift_cache"] = {"mel": c_mel, "source": c_src, "speech": c_sp}
                 t_fed += next_feed
                 emitted_tokens += this_hop
@@ -1158,40 +1192,52 @@ class TTSModel:
             feat[i, : p.prompt_feat.shape[0]] = p.prompt_feat
             feat_len[i] = p.prompt_feat.shape[0]
         flow_fn = self._flow_fn(tok_bucket, False, True)
-        mel = np.asarray(
-            flow_fn(
-                self.params["flow"], jnp.asarray(tok_arr), jnp.asarray(totals),
-                jnp.asarray(feat), jnp.asarray(feat_len), jnp.asarray(emb),
-            )
+        mel_d = flow_fn(
+            self.params["flow"], jnp.asarray(tok_arr), jnp.asarray(totals),
+            jnp.asarray(feat), jnp.asarray(feat_len), jnp.asarray(emb),
         )
 
-        # batched hift on the shared mel bucket; edge-replicate per row
+        # batched hift on the shared mel bucket; edge-replicate per row,
+        # entirely ON DEVICE — the full-bucket mel is ~10 MB over a remote
+        # tunnel and never needs to visit the host
         mel_lens = [totals[i] * ratio - int(feat_len[i]) for i in range(n)]
         h_bucket = bucket_for(max(mel_lens), buckets=(32, 64, 128, 256, 512, 1024, 2048))
-        mel_in = np.zeros((n, cfg.flow.output_size, h_bucket), np.float32)
+        rows = []
         for i in range(n):
-            seg = mel[i, :, int(feat_len[i]) : totals[i] * ratio]
-            mel_in[i, :, : seg.shape[1]] = seg
-            mel_in[i, :, seg.shape[1] :] = seg[:, -1:]
+            seg = mel_d[i, :, int(feat_len[i]) : totals[i] * ratio]
+            rows.append(
+                jnp.concatenate(
+                    [seg, jnp.repeat(seg[:, -1:], h_bucket - seg.shape[1], axis=1)],
+                    axis=1,
+                )
+            )
+        mel_in = jnp.stack(rows)
         # the vocoder's activations are ~1 GB per long row at fp32 — sub-batch
         # to stay inside HBM at large batch sizes
         hift_fn = self._hift_fn(h_bucket, True)
         sub = max(1, min(n, int(4 * 2048 / max(h_bucket, 1))))
-        audio_rows = []
+        out_rows: list = []
         for lo in range(0, n, sub):
             hi = min(lo + sub, n)
             pad_rows = sub - (hi - lo)
             mel_g = mel_in[lo:hi]
             if pad_rows:
-                mel_g = np.concatenate([mel_g, mel_g[-1:].repeat(pad_rows, 0)], axis=0)
-            cache = np.zeros((sub, 1, self.source_cache_len), np.float32)
-            audio, _ = hift_fn(
-                self.params["hift"], jnp.asarray(mel_g), self._next_rng(),
-                jnp.asarray(cache), jnp.asarray(0),
+                mel_g = jnp.concatenate(
+                    [mel_g, jnp.repeat(mel_g[-1:], pad_rows, axis=0)], axis=0
+                )
+            cache = jnp.zeros((sub, 1, self.source_cache_len), jnp.float32)
+            audio_d, _ = hift_fn(
+                self.params["hift"], mel_g, self._next_rng(), cache,
+                jnp.asarray(0),
             )
-            audio_rows.append(np.asarray(audio)[: hi - lo])
-        audio = np.concatenate(audio_rows, axis=0)
-        return [audio[i, : mel_lens[i] * cfg.hift.upsample_scale] for i in range(n)]
+            # per-row valid slices fetched int16 (half the tunnel bytes)
+            out_rows.extend(
+                self._fetch_audio(
+                    audio_d[i - lo, : mel_lens[i] * cfg.hift.upsample_scale]
+                )
+                for i in range(lo, hi)
+            )
+        return out_rows
 
     def vc(
         self,

