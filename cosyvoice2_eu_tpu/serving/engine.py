@@ -330,11 +330,14 @@ class StreamSession:
                                  True, False)
             )
             token_offset += this_hop
-        if self.P + (len(gen) - base) > cap:
-            base = max(base, token_offset - window)
-            over = self.P + (len(gen) - base) - cap
-            if over > 0:  # prompt so long even the hop-window overflows
-                base = min(token_offset, base + over)
+        # window-bound the final recompute unconditionally: context beyond
+        # [prompt ++ window] contributes nothing audible to the last chunk
+        # but quadruples its bucket (768 vs 384) — the finalize was the
+        # second-largest term of engine wall time at 4 streams
+        base = max(base, token_offset - window)
+        over = self.P + (len(gen) - base) - cap
+        if over > 0:  # prompt so long even the hop-window overflows
+            base = min(token_offset, base + over)
         out.append(
             model._token2wav(gen[base:], self.prompt, token_offset - base,
                              self.session, False, True, self.speed)
@@ -354,7 +357,12 @@ class _Request:
 
 
 class RequestHandle:
-    """Iterable over a request's audio chunks (blocks until each is ready)."""
+    """Iterable over a request's audio chunks (blocks until each is ready).
+
+    Chunks may arrive as DEVICE arrays (int16-packed on TPU): the engine
+    loop never blocks on device->host audio transfers — each consumer
+    thread fetches its own chunks, overlapping the transfer with the
+    loop's next decode/vocode dispatches."""
 
     def __init__(self, req: _Request):
         self._req = req
@@ -366,6 +374,10 @@ class RequestHandle:
                 if self._req.failed:
                     raise RuntimeError(self._req.failed)
                 return
+            if not isinstance(chunk, np.ndarray):
+                chunk = np.asarray(chunk)
+            if chunk.dtype == np.int16:
+                chunk = chunk.astype(np.float32) / 32767.0
             yield chunk
 
 
@@ -782,31 +794,24 @@ class TTSEngine:
             results.append((slot, req, chunks, done))
         # one batched transfer for every chunk produced this iteration (a
         # single host sync instead of one RPC round trip per session chunk)
-        with timer.stage("eng_audio_fetch"):
-            # device chunks transfer as int16 (half the tunnel bytes; the
-            # serving wire format is int16 PCM anyway); host chunks pass
-            # through untouched
+        # enqueue WITHOUT fetching: device chunks are int16-packed (half the
+        # tunnel bytes) and each consumer thread fetches its own audio, so
+        # the loop thread never blocks on a device->host transfer — the
+        # transfer overlaps the next iteration's decode/vocode dispatches
+        with timer.stage("eng_enqueue"):
             model = self.model
             pack = model._fetch_i16
-            prepared = [
-                model._audio_i16(c)
-                if pack and not isinstance(c, np.ndarray) else c
-                for _, _, chunks, _ in results for c in chunks
-            ]
-            fetched = [
-                f.astype(np.float32) / 32767.0 if f.dtype == np.int16 else f
-                for f in jax.device_get(prepared)
-            ]
-        it = iter(fetched)
-        for slot, req, chunks, done in results:
-            for _ in chunks:
-                req.out.put(np.asarray(next(it)))
-            if done:
-                req.out.put(None)
-                self._slots[slot] = None
-                self.state = self.state._replace(
-                    active=self.state.active.at[slot].set(False)
-                )
+            for slot, req, chunks, done in results:
+                for c in chunks:
+                    if pack and not isinstance(c, np.ndarray):
+                        c = model._audio_i16(c)
+                    req.out.put(c)
+                if done:
+                    req.out.put(None)
+                    self._slots[slot] = None
+                    self.state = self.state._replace(
+                        active=self.state.active.at[slot].set(False)
+                    )
 
 
 class EngineAPI:
