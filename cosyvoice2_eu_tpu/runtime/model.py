@@ -572,24 +572,28 @@ class TTSModel:
                 jnp.asarray([prompt_mel_len]),
                 jnp.asarray(p.embedding[None]),
             )
-            # slice DEVICE-side, then fetch: the full bucket mel is ~0.5 MB
-            # over the tunnel while the needed window is often a few KB
+            # slice DEVICE-side and keep the mel on device: _hift_chunk
+            # consumes it there, so the mel never crosses the tunnel
             mel_valid = total * ratio if finalize \
                 else (total - self.pre_lookahead_len) * ratio
-            tts_mel = np.asarray(
-                mel[:, :, prompt_mel_len + token_offset * ratio : mel_valid]
-            )
+            tts_mel = mel[:, :, prompt_mel_len + token_offset * ratio : mel_valid]
 
         return self._hift_chunk(tts_mel, session, finalize, speed)
 
-    def _hift_chunk(self, tts_mel: np.ndarray, session: dict, finalize: bool,
+    def _hift_chunk(self, tts_mel, session: dict, finalize: bool,
                     speed: float = 1.0) -> np.ndarray:
         """Vocode one mel chunk with cache prepend, crossfade, and source
-        splicing (mirrors the hift half of token2wav, cli/model.py:312-334)."""
+        splicing (mirrors the hift half of token2wav, cli/model.py:312-334).
+
+        tts_mel may be a DEVICE array (from _token2wav's sliced flow output):
+        assembly happens with jnp ops so the mel never visits the host —
+        only the (rare) speed-interpolation path materializes it."""
         cache = session.get("hift_cache")
         if cache is not None:
-            tts_mel = np.concatenate([cache["mel"], tts_mel], axis=2)
-            cache_source = cache["source"]
+            tts_mel = jnp.concatenate(
+                [jnp.asarray(cache["mel"]), jnp.asarray(tts_mel)], axis=2
+            )
+            cache_source = np.asarray(cache["source"])
         else:
             cache_source = np.zeros((1, 1, 0), np.float32)
 
@@ -597,6 +601,7 @@ class TTSModel:
             raise ValueError("speed change only supports non-stream inference mode")
         if finalize and speed != 1.0:
             # linear mel interpolation for speed control (model.py:328-330)
+            tts_mel = np.asarray(tts_mel)
             T = tts_mel.shape[2]
             new_T = int(T / speed)
             xp = np.linspace(0, T - 1, T)
@@ -606,10 +611,12 @@ class TTSModel:
             ).astype(np.float32)
 
         # hift on an edge-replicated mel bucket
+        tts_mel = jnp.asarray(tts_mel)
         T_mel = tts_mel.shape[2]
         h_bucket = bucket_for(T_mel, buckets=(32, 64, 128, 256, 512, 1024, 2048))
-        mel_in = np.concatenate(
-            [tts_mel, np.repeat(tts_mel[:, :, -1:], h_bucket - T_mel, axis=2)], axis=2
+        mel_in = jnp.concatenate(
+            [tts_mel, jnp.repeat(tts_mel[:, :, -1:], h_bucket - T_mel, axis=2)],
+            axis=2,
         )
         c_len = cache_source.shape[2]
         cache_buf = np.zeros((1, 1, self.source_cache_len), np.float32)

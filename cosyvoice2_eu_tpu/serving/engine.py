@@ -71,6 +71,7 @@ class StreamSession:
         # engine staging never serializes priming across requests.
         self.fstate = None
         self.first_pending = not self.single_shot
+        self.gen_base = 0  # generated tokens rolled out of the state window
         self.t_fed = prompt_only
         self.next_feed = (self.P - prompt_only) + self.prompt_pad + self.hop
         self.this_hop = self.hop + self.prompt_pad
@@ -79,14 +80,49 @@ class StreamSession:
         self.done = False
 
     def _combined(self, i0: int, n: int, gen: np.ndarray) -> np.ndarray:
+        """tokens [i0, i0+n) of prompt ++ generated, in STATE coordinates:
+        after a rollover, state position i >= P maps to gen[gen_base + i-P]."""
         out = np.zeros(n, np.int32)
         for k in range(n):
             i = i0 + k
             out[k] = (
                 self.prompt.flow_prompt_speech_tokens[i]
-                if i < self.P else gen[i - self.P]
+                if i < self.P else gen[self.gen_base + i - self.P]
             )
         return out
+
+    def _can_rollover(self, gen_tokens: np.ndarray, lm_finished: bool) -> bool:
+        model = self.model
+        return (
+            model.stream_rollover
+            and self.P + model.stream_rollover_window + 2 * self.hop
+            <= model.stream_max_tokens
+            and (
+                not lm_finished
+                or len(gen_tokens) - self.emitted > 2 * self.hop
+            )
+        )
+
+    def _rollover(self, gen_tokens: np.ndarray):
+        """Fresh cached state over [prompt ++ last window of generated]
+        (mirrors runtime/model.py _tts_stream_cached rollover)."""
+        model = self.model
+        hop = self.hop
+        prompt_only = model._prompt_prime_len(self.P, hop, self.la)
+        g_fed = self.gen_base + (self.t_fed - self.P)
+        # align the window so the catch-up decomposes into PRIME_SIZES feeds
+        base = self.P - prompt_only
+        w = model.stream_rollover_window
+        w += (-(base + w)) % hop
+        j0 = max(0, g_fed - w)
+        self.fstate, _ = model._primed_flow_state(self.prompt)
+        self.gen_base = j0
+        t = prompt_only
+        total = self.P + (g_fed - j0)
+        for n in model._decompose_feed(total - prompt_only):
+            self._feed(t, n, gen_tokens, materialize=False)
+            t += n
+        self.t_fed = total
 
     def _feed(self, t0: int, n: int, gen: np.ndarray, materialize: bool = True):
         cfg = self.model.cfg
@@ -153,8 +189,8 @@ class StreamSession:
                 return out
             else:
                 return out
-        avail = self.P + len(gen_tokens)
         while True:
+            avail = self.P + len(gen_tokens) - self.gen_base
             if (
                 self.next_feed == self.hop and self.this_hop == self.hop
                 and self.mel_buf.shape[2] == 0 and self.t_fed >= self.P
@@ -167,10 +203,17 @@ class StreamSession:
                 # independent of n), so double chunks halve the per-audio-
                 # second vocode cost at no TTFA expense.
                 h = self._cur_hop()
-                if not (
-                    avail >= self.t_fed + h + self.la
-                    and self.t_fed + h <= model.stream_max_tokens
+                cap = model.stream_max_tokens
+                if self.t_fed + h > cap and self._can_rollover(
+                    gen_tokens, lm_finished
                 ):
+                    # window re-prime (same O(T) guarantee as the direct
+                    # path's rollover): streaming stays in the cached path
+                    # past the window cap instead of abandoning the rest to
+                    # the finalize drain's recompute chunks
+                    self._rollover(gen_tokens)
+                    continue
+                if not (avail >= self.t_fed + h + self.la and self.t_fed + h <= cap):
                     break  # wait for enough tokens for the full chunk
                 tok = self._combined(self.t_fed, h, gen_tokens)[None]
                 ctx = self._combined(self.t_fed + h, self.la, gen_tokens)[None]
@@ -276,7 +319,8 @@ class StreamSession:
         h = self._cur_hop()
         return (
             self.t_fed + h <= self.model.stream_max_tokens
-            and self.P + len(gen_tokens) >= self.t_fed + h + self.la
+            and self.P + len(gen_tokens) - self.gen_base
+            >= self.t_fed + h + self.la
         )
 
     def steady_inputs(self, gen_tokens: np.ndarray):
@@ -320,10 +364,11 @@ class StreamSession:
             this_hop = hop + self.prompt_pad if token_offset == 0 else hop
             if len(gen) - token_offset < this_hop + la:
                 break  # too short for a full stream chunk; final handles it
+            # re-base EVERY chunk: a constant [prompt ++ window] context
+            # keeps the recompute bucket fixed (~384) instead of ratcheting
+            # to 1024 before each re-base
+            base = max(base, token_offset - window)
             rel = token_offset - base
-            if self.P + rel + this_hop + la > cap and rel > window:
-                base = token_offset - window
-                rel = window
             chunk = gen[base : token_offset + this_hop + la]
             out.append(
                 model._token2wav(chunk, self.prompt, rel, self.session,
