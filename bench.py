@@ -519,10 +519,15 @@ def engine_bench(api, cfg, out: dict):
             ]
             out[f"engine_audio_{tag}_s"] = round(audio, 1)
 
+        # three runs: the first compiles the slot-batched vocode programs,
+        # the second still hits residual group-size variants; the THIRD is
+        # the warm number recorded (keys overwrite)
         run_concurrent(4, "4")
-        run_concurrent(4, "4")    # second run = warm numbers (first pays
+        run_concurrent(4, "4")
+        if _left() > 180:
+            run_concurrent(4, "4")
         if _left() > 120:
-            run_concurrent(8, "8q4")  # residual per-shape compiles/setup)
+            run_concurrent(8, "8q4")
         else:
             out["engine_8q4_skipped"] = "deadline"
     finally:

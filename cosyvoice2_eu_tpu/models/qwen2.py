@@ -104,9 +104,12 @@ def _attention(q, k, v, bias, num_groups: int):
     return out.reshape(b, hq, tq, d)
 
 
-def _layer_forward(lp, cfg: Qwen2Config, x, cos, sin, bias, kv=None, layer_idx=0, write_at=None):
+def _layer_forward(lp, cfg: Qwen2Config, x, cos, sin, bias, kv=None, layer_idx=0,
+                   write_at=None, attn_len=None):
     """One decoder layer.  If kv is given, k/v are written at ``write_at`` and
-    attention runs over the full cache; otherwise self-attention over x."""
+    attention runs over the full cache — or only its first ``attn_len`` slots
+    when set (prefill: slots past the prompt window are unwritten and masked,
+    so attending over them is pure wasted score/softmax work)."""
     b, t, _ = x.shape
     h = rms_norm(lp["input_layernorm"], x, cfg.rms_norm_eps)
     q = dense(lp["q_proj"], h).reshape(b, t, cfg.num_heads, cfg.head_dim).transpose(0, 2, 1, 3)
@@ -140,7 +143,9 @@ def _layer_forward(lp, cfg: Qwen2Config, x, cos, sin, bias, kv=None, layer_idx=0
                 kv.v[layer_idx], v.astype(kv.v.dtype), (0, 0, write_at, 0)
             )
         new_kv = KVCache(kv.k.at[layer_idx].set(k_cache), kv.v.at[layer_idx].set(v_cache))
-        att = _attention(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype), bias,
+        k_att = k_cache if attn_len is None else k_cache[:, :, :attn_len]
+        v_att = v_cache if attn_len is None else v_cache[:, :, :attn_len]
+        att = _attention(q, k_att.astype(q.dtype), v_att.astype(q.dtype), bias,
                          cfg.num_heads // cfg.num_kv_heads)
     else:
         new_kv = None
@@ -181,20 +186,25 @@ def qwen2_prefill(params, cfg: Qwen2Config, embeds, prompt_len, kv: KVCache):
     Returns (last_valid_hidden (B, H), kv).
     """
     b, p, _ = embeds.shape
-    max_len = kv.k.shape[3]
     pos_idx = jnp.arange(p, dtype=jnp.int32)
-    # attention runs over the whole cache: query i sees cache slot j iff
-    # j <= i (causal within the prompt) and j < prompt_len (no pad slots)
-    slot = jnp.arange(max_len, dtype=jnp.int32)
+    # attention runs over the PROMPT WINDOW only (cache slots >= p are
+    # unwritten during prefill and masked): query i sees slot j iff j <= i
+    # (causal within the prompt) and j < prompt_len (no pad slots).
+    # Restricting the scores to (P, P) instead of (P, max_cache) cuts the
+    # prefill's attention work ~(max_cache/P)x at identical results.
+    slot = jnp.arange(p, dtype=jnp.int32)
     mask = (slot[None, None, :] <= pos_idx[None, :, None]) & (
         slot[None, None, :] < prompt_len[:, None, None]
     )
-    bias = jnp.where(mask, 0.0, NEG_INF)[:, None]  # (B, 1, P, max_len)
+    bias = jnp.where(mask, 0.0, NEG_INF)[:, None]  # (B, 1, P, P)
     cos, sin = rope_cos_sin(pos_idx, cfg)
 
     x = embeds
     for i, lp in enumerate(params["layers"]):
-        x, kv = _layer_forward(lp, cfg, x, cos, sin, bias, kv=kv, layer_idx=i, write_at=0)
+        x, kv = _layer_forward(
+            lp, cfg, x, cos, sin, bias, kv=kv, layer_idx=i, write_at=0,
+            attn_len=p,
+        )
     x = rms_norm(params["norm"], x, cfg.rms_norm_eps)
     last = jnp.take_along_axis(x, (prompt_len - 1)[:, None, None], axis=1)[:, 0]
     return last, kv

@@ -74,7 +74,9 @@ def _attn_kernel(
     k_ref,  # (1, T, D)
     v_ref,  # (1, T, D)
     o_ref,  # (1, BQ, D)
-    *maybe_lse,  # optionally (1, BQ) logsumexp output (training forward)
+    *maybe_lse,  # optionally (1, 1, BQ) logsumexp output (training forward)
+    # (the singleton middle dim satisfies the TPU tiling rule: block last-two
+    # dims must divide (8, 128) or equal the array dims — (1, BQ) does not)
     block_q: int,
     block_k: int,
     t_kv: int,
@@ -117,7 +119,7 @@ def _attn_kernel(
     if maybe_lse:
         # guard: a fully-masked row has m = l = 0-mass; keep lse finite so the
         # backward's exp(s - lse) stays 0/1-bounded and ds vanishes with do=0
-        maybe_lse[0][0] = (m + jnp.log(jnp.maximum(l, 1e-30)))[:, 0]
+        maybe_lse[0][0, 0] = (m + jnp.log(jnp.maximum(l, 1e-30)))[:, 0]
 
 
 def _dq_kernel(
@@ -126,8 +128,8 @@ def _dq_kernel(
     k_ref,  # (1, T, D)
     v_ref,  # (1, T, D)
     do_ref,  # (1, BQ, D)
-    lse_ref,  # (1, BQ)
-    delta_ref,  # (1, BQ)  rowsum(do * o)
+    lse_ref,  # (1, 1, BQ)
+    delta_ref,  # (1, 1, BQ)  rowsum(do * o)
     dq_ref,  # (1, BQ, D)
     *,
     block_q: int,
@@ -140,8 +142,8 @@ def _dq_kernel(
     q_idx = pl.program_id(1)
     q = q_ref[0].astype(jnp.float32) * sm_scale
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0][:, None]
-    delta = delta_ref[0][:, None]
+    lse = lse_ref[0, 0][:, None]
+    delta = delta_ref[0, 0][:, None]
     length = length_ref[bh_idx, 0]
     max_visible = _max_visible(q_idx, block_q, block_k, length, chunk_size)
 
@@ -173,8 +175,8 @@ def _dkv_kernel(
     k_ref,  # (1, BK, D)
     v_ref,  # (1, BK, D)
     do_ref,  # (1, T, D)
-    lse_ref,  # (1, T)
-    delta_ref,  # (1, T)
+    lse_ref,  # (1, 1, T)
+    delta_ref,  # (1, 1, T)
     dk_ref,  # (1, BK, D)
     dv_ref,  # (1, BK, D)
     *,
@@ -197,8 +199,8 @@ def _dkv_kernel(
         dk_acc, dv_acc = carry
         q_blk = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32) * sm_scale
         do_blk = do_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
-        lse_blk = lse_ref[0, pl.ds(qb * block_q, block_q)][None, :]
-        delta_blk = delta_ref[0, pl.ds(qb * block_q, block_q)][None, :]
+        lse_blk = lse_ref[0, 0, pl.ds(qb * block_q, block_q)][None, :]
+        delta_blk = delta_ref[0, 0, pl.ds(qb * block_q, block_q)][None, :]
         s_t = jax.lax.dot_general(
             k_blk, q_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (BK, BQ) == s^T
@@ -249,8 +251,10 @@ def _flash_call(qf, kf, vf, lengths_bh, chunk_size, sm_scale, block_q, block_k,
     out_shape = [jax.ShapeDtypeStruct((bh, t, d), qf.dtype)]
     out_specs = [pl.BlockSpec((1, block_q, d), lambda i, j, L: (i, j, 0))]
     if with_lse:
-        out_shape.append(jax.ShapeDtypeStruct((bh, t), jnp.float32))
-        out_specs.append(pl.BlockSpec((1, block_q), lambda i, j, L: (i, j)))
+        out_shape.append(jax.ShapeDtypeStruct((bh, 1, t), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, 1, block_q), lambda i, j, L: (i, 0, j))
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bh, t // block_q),
@@ -290,7 +294,9 @@ def _flash_bwd(chunk_size, sm_scale, block_q, block_k, interpret, res, do):
     softmax-jacobian correction term."""
     qf, kf, vf, lengths_bh, o, lse = res
     bh, t, d = qf.shape
-    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    delta = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
+    )[:, None, :]  # (bh, 1, t) — same tiling-friendly layout as lse
 
     common = dict(block_q=block_q, block_k=block_k, t_kv=t, sm_scale=sm_scale,
                   chunk_size=chunk_size)
@@ -304,8 +310,8 @@ def _flash_bwd(chunk_size, sm_scale, block_q, block_k, interpret, res, do):
                 pl.BlockSpec((1, t, d), lambda i, j, L: (i, 0, 0)),
                 pl.BlockSpec((1, t, d), lambda i, j, L: (i, 0, 0)),
                 pl.BlockSpec((1, block_q, d), lambda i, j, L: (i, j, 0)),
-                pl.BlockSpec((1, block_q), lambda i, j, L: (i, j)),
-                pl.BlockSpec((1, block_q), lambda i, j, L: (i, j)),
+                pl.BlockSpec((1, 1, block_q), lambda i, j, L: (i, 0, j)),
+                pl.BlockSpec((1, 1, block_q), lambda i, j, L: (i, 0, j)),
             ],
             out_specs=pl.BlockSpec((1, block_q, d), lambda i, j, L: (i, j, 0)),
         ),
@@ -323,8 +329,8 @@ def _flash_bwd(chunk_size, sm_scale, block_q, block_k, interpret, res, do):
                 pl.BlockSpec((1, block_k, d), lambda i, j, L: (i, j, 0)),
                 pl.BlockSpec((1, block_k, d), lambda i, j, L: (i, j, 0)),
                 pl.BlockSpec((1, t, d), lambda i, j, L: (i, 0, 0)),
-                pl.BlockSpec((1, t), lambda i, j, L: (i, 0)),
-                pl.BlockSpec((1, t), lambda i, j, L: (i, 0)),
+                pl.BlockSpec((1, 1, t), lambda i, j, L: (i, 0, 0)),
+                pl.BlockSpec((1, 1, t), lambda i, j, L: (i, 0, 0)),
             ],
             out_specs=[
                 pl.BlockSpec((1, block_k, d), lambda i, j, L: (i, j, 0)),
