@@ -292,16 +292,21 @@ class TTSModel:
             # previous chunk's withheld tail
             head = audio[:sc] * win[:sc] + cache_speech * win[sc:]
             audio = jnp.concatenate([head, audio[sc:]])
+            out = audio[:-sc]
+            if self._fetch_i16:  # pack in-program: no eager op, half bytes
+                out = self._audio_i16(out)
             return (
                 fstate,
-                audio[:-sc],
+                out,
                 tts_mel[:, :, -mc:],
                 source[:, :, -sc:],
                 audio[-sc:],
             )
 
         return aot_jit(
-            f"stream_chunk_fused_n{n_feed}", fn, donate_argnums=(1, 8, 9, 10)
+            f"stream_chunk_fused_n{n_feed}"
+            f"{'_i16' if self._fetch_i16 else ''}",
+            fn, donate_argnums=(1, 8, 9, 10),
         )
 
     @functools.lru_cache(maxsize=8)
@@ -357,17 +362,25 @@ class TTSModel:
             states_out = tuple(
                 jax.tree.map(lambda x: x[i], stacked) for i in range(batch)
             )
+            out = audio[:, :-sc]
+            if self._fetch_i16:  # pack in-program: no eager op, half bytes
+                out = self._audio_i16(out)
             return (
                 states_out,
-                audio[:, :-sc],
+                out,
                 tts_mel[:, :, -mc:],
                 source[:, :, -sc:],
                 audio[:, -sc:],
             )
 
+        # NO donation of the session states: pad rows share one dummy state
+        # (duplicate-donated buffers are illegal), and the engine pads every
+        # group to n_slots so ONE program per hop exists — lazily compiling
+        # b2/b3 variants mid-run cost queued requests minutes of TTFA
         return aot_jit(
-            f"stream_chunk_fused_b{batch}_n{n_feed}", fn,
-            donate_argnums=(1, 8, 9, 10),
+            f"stream_chunk_fused_b{batch}_n{n_feed}"
+            f"{'_i16' if self._fetch_i16 else ''}",
+            fn, donate_argnums=(8, 9, 10),
         )
 
     def _fused_cache_ok(self, session: dict) -> bool:
@@ -459,6 +472,46 @@ class TTSModel:
             )
 
         return aot_jit(f"hift_m{mel_bucket}_c{int(with_cache)}", fn)
+
+    @functools.lru_cache(maxsize=16)
+    def _hift_chunk_fn(self, h_bucket: int):
+        """Fused per-chunk vocode assembly: edge-replication past the DYNAMIC
+        valid length + HiFT + source/mel cache tails + (on TPU) int16 audio
+        packing, ONE program keyed only by the mel bucket.  The same math
+        spelled as eager jnp ops cost one remote XLA compile each under a
+        fresh cold cache, and keying on the exact chunk length would compile
+        a fresh executable per finalize length."""
+        cfg = self.cfg
+        mc, sc = self.mel_cache_len, self.source_cache_len
+        up = cfg.hift.upsample_scale
+        pack = self._fetch_i16
+
+        def fn(params, mel_pad, t_mel, rng, cache_source, cache_len):
+            c = mel_pad.shape[1]
+            idx = jnp.arange(h_bucket)[None, None, :]
+            edge = jnp.take_along_axis(
+                mel_pad,
+                jnp.broadcast_to(
+                    jnp.maximum(t_mel - 1, 0).reshape(1, 1, 1), (1, c, 1)
+                ),
+                axis=2,
+            )
+            mel_in = jnp.where(idx < t_mel, mel_pad, edge)
+            audio, source = hift_inference(
+                params, cfg.hift, mel_in, rng,
+                cache_source=cache_source, cache_len=cache_len,
+            )
+            n_samples = t_mel * up
+            src_tail = jax.lax.dynamic_slice(
+                source, (0, 0, jnp.maximum(n_samples - sc, 0)), (1, 1, sc)
+            )
+            mel_tail = jax.lax.dynamic_slice(
+                mel_pad, (0, 0, jnp.maximum(t_mel - mc, 0)), (1, c, mc)
+            )
+            a = audio[0]  # full bucket; the host cuts to n_samples
+            return (self._audio_i16(a) if pack else a), src_tail, mel_tail
+
+        return aot_jit(f"hift_chunkd_m{h_bucket}{'_i16' if pack else ''}", fn)
 
     # ------------------------------------------------------------------
     # host-side helpers
@@ -610,40 +663,52 @@ class TTSModel:
                 [np.stack([np.interp(xq, xp, row) for row in ch]) for ch in tts_mel]
             ).astype(np.float32)
 
-        # hift on an edge-replicated mel bucket
-        tts_mel = jnp.asarray(tts_mel)
-        T_mel = tts_mel.shape[2]
+        # fused dynamic-length edge-pad + HiFT + tail slicing + i16 pack:
+        # one dispatch keyed only by the mel bucket, one fetch group
+        T_mel = int(tts_mel.shape[2])
+        sc, mc = self.source_cache_len, self.mel_cache_len
         h_bucket = bucket_for(T_mel, buckets=(32, 64, 128, 256, 512, 1024, 2048))
-        mel_in = jnp.concatenate(
-            [tts_mel, jnp.repeat(tts_mel[:, :, -1:], h_bucket - T_mel, axis=2)],
-            axis=2,
-        )
+        if isinstance(tts_mel, np.ndarray):
+            mel_pad = np.zeros(
+                (1, tts_mel.shape[1], h_bucket), np.float32
+            )
+            mel_pad[:, :, :T_mel] = tts_mel
+            mel_pad = jnp.asarray(mel_pad)
+        else:
+            mel_pad = jnp.pad(
+                tts_mel, ((0, 0), (0, 0), (0, h_bucket - T_mel))
+            )
         c_len = cache_source.shape[2]
-        cache_buf = np.zeros((1, 1, self.source_cache_len), np.float32)
+        cache_buf = np.zeros((1, 1, sc), np.float32)
         cache_buf[:, :, :c_len] = cache_source
-        hift_fn = self._hift_fn(h_bucket, True)
-        with self.timer.stage(f"hift[{h_bucket}]"):
-            audio, source = hift_fn(
+        chunk_fn = self._hift_chunk_fn(h_bucket)
+        with self.timer.stage(f"hift_chunk[{h_bucket}]"):
+            audio_d, source_d, cache_mel_d = chunk_fn(
                 self.params["hift"],
-                jnp.asarray(mel_in),
+                mel_pad,
+                jnp.asarray(T_mel, jnp.int32),
                 self._next_rng(),
                 jnp.asarray(cache_buf),
                 jnp.asarray(c_len),
             )
             n_samples = T_mel * self.cfg.hift.upsample_scale
-            # device-side slices, int16 audio: fetch only the valid samples
-            # (the padded hift bucket is up to 4x the chunk) at half width
-            audio = self._fetch_audio(audio[0, :n_samples])
-            sc = self.source_cache_len
-            source = np.asarray(
-                source[:, :, max(n_samples - sc, 0) : n_samples]
-            )
+            audio, source = jax.device_get((audio_d, source_d))
+            if audio.dtype == np.int16:
+                audio = audio.astype(np.float32) / 32767.0
+            audio = audio[:n_samples]
+            if n_samples < sc:
+                # degenerate tiny chunk: the dynamic tail started at 0, so
+                # the true (short) source tail is its first n_samples
+                source = source[:, :, :n_samples]
 
         if not finalize:
             if cache is not None:
                 audio = _fade_in_out(audio, cache["speech"], self.speech_window)
             session["hift_cache"] = {
-                "mel": tts_mel[:, :, -self.mel_cache_len :],
+                "mel": (
+                    cache_mel_d if T_mel >= mc
+                    else np.asarray(mel_pad[:, :, :T_mel])
+                ),
                 "source": source,
                 "speech": audio[-self.source_cache_len :],
             }
@@ -1111,7 +1176,9 @@ class TTSModel:
                             jnp.asarray(int(step) + hop + la),
                         )
                         stale = True
-                    audio = self._fetch_audio(audio_d)
+                    audio = np.asarray(audio_d)
+                    if audio.dtype == np.int16:
+                        audio = audio.astype(np.float32) / 32767.0
                 session["hift_cache"] = {"mel": c_mel, "source": c_src, "speech": c_sp}
                 t_fed += next_feed
                 emitted_tokens += this_hop

@@ -260,7 +260,13 @@ class StreamSession:
                 out.extend(self._finalize(np.asarray(gen_tokens, np.int32)))
             self.done = True
         if fetch:
-            return [np.asarray(c) for c in out]
+            fetched = []
+            for c in out:
+                c = np.asarray(c)
+                if c.dtype == np.int16:  # fused programs pre-pack on TPU
+                    c = c.astype(np.float32) / 32767.0
+                fetched.append(c)
+            return fetched
         return out
 
     # -- slot-batched steady-state hooks (TTSEngine groups sessions) --------
@@ -472,6 +478,7 @@ class TTSEngine:
         from collections import deque
 
         self._staged: "deque" = deque()
+        self._pad_state_cache = None
         self._pending: "queue.Queue[_Request]" = queue.Queue()
         self._slots: list[Optional[_Request]] = [None] * n_slots
         self._lock = threading.Lock()
@@ -615,28 +622,40 @@ class TTSEngine:
         totals = [s.P + n for s, n in zip(sessions, needs)]
         if max(totals) > FLOW_TOKEN_BUCKETS[-1]:
             raise ValueError("prompt exceeds flow bucket; use per-session path")
-        b = len(group)
+        # pad to n_slots rows (dup row 0): one compiled program per
+        # (token bucket, hift bucket) regardless of how many sessions are
+        # admitted together
+        b = self.n_slots
+        n_real = len(group)
         tok_bucket = bucket_for(max(totals), buckets=FLOW_TOKEN_BUCKETS)
         tok_arr = np.zeros((b, tok_bucket), np.int32)
         feat = np.zeros((b, tok_bucket * ratio, cfg.flow.output_size), np.float32)
         feat_len = np.zeros((b,), np.int32)
-        emb = np.stack([s.prompt.embedding for s in sessions])
+        emb = np.stack(
+            [s.prompt.embedding for s in sessions]
+            + [sessions[0].prompt.embedding] * (b - n_real)
+        )
+        pad_totals = list(totals) + [totals[0]] * (b - n_real)
         for i, s in enumerate(sessions):
             sp = s.prompt.flow_prompt_speech_tokens.astype(np.int32)
             tok_arr[i, : s.P] = sp
             tok_arr[i, s.P : totals[i]] = gens[i][: needs[i]]
             feat[i, : s.prompt.prompt_feat.shape[0]] = s.prompt.prompt_feat
             feat_len[i] = s.prompt.prompt_feat.shape[0]
+        for i in range(n_real, b):
+            tok_arr[i] = tok_arr[0]
+            feat[i] = feat[0]
+            feat_len[i] = feat_len[0]
         flow_fn = model._flow_fn(tok_bucket, True, False)
         mel_d = flow_fn(
             model.params["flow"], jnp.asarray(tok_arr),
-            jnp.asarray(totals, jnp.int32), jnp.asarray(feat),
+            jnp.asarray(pad_totals, jnp.int32), jnp.asarray(feat),
             jnp.asarray(feat_len), jnp.asarray(emb),
         )
         # fetch only each row's generated-region window, sliced device-side
         tts_mels = jax.device_get([
             mel_d[i, :, int(feat_len[i]) : (totals[i] - la) * ratio]
-            for i in range(b)
+            for i in range(n_real)
         ])
         mel_lens = [m.shape[1] for m in tts_mels]
         h_bucket = bucket_for(
@@ -646,6 +665,8 @@ class TTSEngine:
         for i, m in enumerate(tts_mels):
             mel_in[i, :, : m.shape[1]] = m
             mel_in[i, :, m.shape[1] :] = m[:, -1:]
+        for i in range(n_real, b):
+            mel_in[i] = mel_in[0]
         hift_fn = model._hift_fn(h_bucket, True)
         audio_d, source_d = hift_fn(
             model.params["hift"], jnp.asarray(mel_in), model._next_rng(),
@@ -658,7 +679,7 @@ class TTSEngine:
             model._audio_i16(audio_d) if pack else audio_d,
         ] + [
             source_d[i : i + 1, :, mel_lens[i] * up - sc : mel_lens[i] * up]
-            for i in range(b)
+            for i in range(n_real)
         ]
         fetched = jax.device_get(prepared)
         audio = fetched[0]
@@ -678,25 +699,53 @@ class TTSEngine:
             out.append(a[:-sc])
         return out
 
+    @property
+    def _pad_state(self):
+        """Shared dummy FlowStreamState for padding vocode groups to
+        n_slots: ONE batched program per hop, no donation (the dummy is
+        aliased across pad rows and reused forever)."""
+        if self._pad_state_cache is None:
+            dtype = self.model.params["flow"]["input_embedding"]["weight"].dtype
+            self._pad_state_cache = self.model._init_state_fn(dtype)()
+        return self._pad_state_cache
+
     def _steady_batch(self, group, tokens, lengths):
-        """One slot-batched fused chunk for `group` sessions; returns the
-        per-session audio rows as DEVICE arrays (fetched later in the loop's
-        single batched device_get)."""
+        """One slot-batched fused chunk for `group` sessions (padded to
+        n_slots rows); returns the per-session audio rows as DEVICE arrays."""
         model = self.model
         hop = group[0][1].session._cur_hop()  # group is homogeneous in hop
         rows = [
             req.session.steady_inputs(tokens[slot, : int(lengths[slot])])
             for slot, req in group
         ]
-        tok = np.stack([r[0] for r in rows])
-        ctx = np.stack([r[1] for r in rows])
-        cond = np.stack([r[2] for r in rows])
-        emb = np.stack([req.prompt.embedding for _, req in group])
-        c_mel = jnp.concatenate([jnp.asarray(r[3]) for r in rows], axis=0)
-        c_src = jnp.concatenate([jnp.asarray(r[4]) for r in rows], axis=0)
-        c_sp = jnp.stack([jnp.asarray(r[5]) for r in rows], axis=0)
-        states = tuple(req.session.fstate for _, req in group)
-        fused = model._stream_chunk_fused_batch_fn(hop, len(group))
+        n_pad = self.n_slots - len(group)
+        pad = lambda arr: np.concatenate(
+            [arr] + [arr[:1]] * n_pad, axis=0
+        ) if n_pad else arr
+        tok = pad(np.stack([r[0] for r in rows]))
+        ctx = pad(np.stack([r[1] for r in rows]))
+        cond = pad(np.stack([r[2] for r in rows]))
+        emb = pad(np.stack([req.prompt.embedding for _, req in group]))
+        sc, mc = model.source_cache_len, model.mel_cache_len
+        c_mel = jnp.concatenate(
+            [jnp.asarray(r[3]) for r in rows]
+            + [jnp.zeros((n_pad, 80, mc), jnp.float32)] * (1 if n_pad else 0),
+            axis=0,
+        )
+        c_src = jnp.concatenate(
+            [jnp.asarray(r[4]) for r in rows]
+            + [jnp.zeros((n_pad, 1, sc), jnp.float32)] * (1 if n_pad else 0),
+            axis=0,
+        )
+        c_sp = jnp.concatenate(
+            [jnp.stack([jnp.asarray(r[5]) for r in rows])]
+            + [jnp.zeros((n_pad, sc), jnp.float32)] * (1 if n_pad else 0),
+            axis=0,
+        )
+        states = tuple(req.session.fstate for _, req in group) + (
+            (self._pad_state,) * n_pad
+        )
+        fused = model._stream_chunk_fused_batch_fn(hop, self.n_slots)
         states_out, audio, c_mel2, c_src2, c_sp2 = fused(
             model._get_stream_params(), states, jnp.asarray(tok),
             jnp.asarray(ctx), jnp.asarray(emb), jnp.asarray(cond),
@@ -848,7 +897,10 @@ class TTSEngine:
             pack = model._fetch_i16
             for slot, req, chunks, done in results:
                 for c in chunks:
-                    if pack and not isinstance(c, np.ndarray):
+                    if (
+                        pack and not isinstance(c, np.ndarray)
+                        and c.dtype != jnp.int16  # fused programs pre-pack
+                    ):
                         c = model._audio_i16(c)
                     req.out.put(c)
                 if done:
