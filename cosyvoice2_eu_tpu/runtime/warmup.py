@@ -62,6 +62,37 @@ def warmup_programs(model, prompt_seconds=(3, 6, 10), batch: int = 0) -> dict:
     return {"modes": n_programs, "seconds": round(time.time() - t0, 1)}
 
 
+def warmup_engine(model, n_slots: int = 4) -> dict:
+    """Compile the serving engine's slot-batched program set (decode /
+    prefill / insert, batched first emission, batched steady chunks at every
+    escalated hop) by running n_slots concurrent requests twice."""
+    import threading
+
+    from cosyvoice2_eu_tpu.serving.engine import TTSEngine
+
+    t0 = time.time()
+    cfg = model.cfg
+    engine = TTSEngine(model, n_slots=n_slots)
+    try:
+        for round_ in range(2):  # second run reaches the escalated hops warm
+            prompts = [
+                _prompt(cfg, np.random.default_rng(100 + i),
+                        int(6 * cfg.flow.input_frame_rate))
+                for i in range(n_slots)
+            ]
+            handles = [engine.submit(p) for p in prompts]
+            threads = [
+                threading.Thread(target=lambda h=h: list(h)) for h in handles
+            ]
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join()
+    finally:
+        engine.close()
+    return {"engine_seconds": round(time.time() - t0, 1)}
+
+
 def warmup_main(argv=None):
     import argparse
     import os
@@ -76,6 +107,9 @@ def warmup_main(argv=None):
     p.add_argument("--backbone", default=None)
     p.add_argument("--batch", type=int, default=0,
                    help="also compile tts_batch at this size")
+    p.add_argument("--engine-slots", type=int, default=0,
+                   help="also compile the serving engine's slot-batched "
+                        "program set for this many slots")
     p.add_argument("--prompt-seconds", default="3,6,10")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
@@ -97,6 +131,8 @@ def warmup_main(argv=None):
         api = cosy.load(config=cosy.TTSConfig(), backbone=args.backbone, seed=0)
     secs = tuple(int(s) for s in args.prompt_seconds.split(","))
     stats = warmup_programs(api._model, prompt_seconds=secs, batch=args.batch)
+    if args.engine_slots:
+        stats.update(warmup_engine(api._model, n_slots=args.engine_slots))
     d = aot_cache.cache_dir()
     n_files = len([f for f in os.listdir(d) if f.endswith(".aot")]) \
         if d and os.path.isdir(d) else 0
