@@ -785,6 +785,11 @@ def phase_cold(result_path: str):
         + sum(v["total_s"] for v in stages.values())
         + sum(s for _, s in store_stats["loaded"])
         + sum(s for _, s in store_stats["built"])
+        + sum(
+            s for name, s in store_stats["first_exec"]
+            # first executions inside named stages are already attributed
+            if not any(name.startswith(p) for p in ("flow_t", "hift_chunkd"))
+        )
     )
     with open(result_path, "w") as f:
         json.dump(
@@ -804,6 +809,12 @@ def phase_cold(result_path: str):
                 # (name, compile_seconds)) — a slow cold run names its cause
                 "cold_aot_loaded": sorted(set(store_stats["loaded"])),
                 "cold_aot_built": store_stats["built"],
+                # per-program first-dispatch cost: on a remote-attached TPU
+                # this is the backend program upload/finalization, the
+                # dominant cold term after the store removed compiles
+                "cold_first_exec": sorted(
+                    store_stats["first_exec"], key=lambda x: -x[1]
+                ),
                 "cold_aot_not_persisted": store_stats["not_persisted"],
             },
             f,

@@ -31,7 +31,9 @@ logger = logging.getLogger(__name__)
 # Diagnostics: which stage programs were served from disk vs compiled in this
 # process. bench.py's cold phase reports these so a slow "cold install" run
 # names the exact programs that missed the store instead of a mute 500 s.
-store_stats: dict = {"loaded": [], "built": [], "not_persisted": []}
+store_stats: dict = {
+    "loaded": [], "built": [], "not_persisted": [], "first_exec": []
+}
 
 
 # Only sources that can change the COMPILED programs feed the salt: the
@@ -177,7 +179,19 @@ class AotFunction:
         return os.path.join(d, f"{self.name}-{kind}-{_source_salt()}-{sig}.aot")
 
     def __call__(self, *args):
-        return self.compiled(*args)(*args)
+        sig = _arg_sig(args)
+        ex = self._execs.get(sig)
+        if ex is not None:
+            return ex(*args)
+        ex = self.compiled(*args)
+        # first dispatch of a (freshly deserialized) executable pays the
+        # backend-side program upload/finalization synchronously — on a
+        # remote-attached TPU this is seconds per program and was the bulk
+        # of the "unattributed" cold-start time; record it by name
+        t0 = _time.time()
+        out = ex(*args)
+        store_stats["first_exec"].append((self.name, round(_time.time() - t0, 1)))
+        return out
 
     def compiled(self, *args):
         """The compiled executable for this arg signature (building or
