@@ -19,8 +19,8 @@ share ONE batched flow recompute + ONE batched HiFT; steady-state sessions
 vocode in ONE slot-batched fused dispatch per iteration, with chunk sizes
 escalating 25 -> 50 -> 100 tokens as each stream builds lead (the cached
 chunk's device cost is op-count-bound, so bigger chunks divide per-second
-vocode cost).  Measured on a v5e (BENCH_r05): 4-stream warm TTFA ~0.4 s,
-engine RTF within ~1.6x of the single-stream non-streaming RTF.
+vocode cost).  Measured on a v5e (BENCH_r05): 4-stream warm TTFA 0.35 s,
+engine RTF 0.073 = 1.5x the single-stream non-streaming RTF.
 """
 
 from __future__ import annotations
