@@ -292,3 +292,25 @@ def test_stream_session_cap_hit_drains_in_chunks(model, monkeypatch):
     scale = CFG.hift.upsample_scale * CFG.flow.token_mel_ratio
     assert len(total) == 150 * scale  # every token vocoded exactly once
     assert np.isfinite(total).all()
+
+
+@pytest.mark.slow
+def test_engine_padded_groups_fewer_sessions_than_slots(model):
+    """2 concurrent requests on a 4-slot engine: the batched first/steady
+    vocode groups pad to n_slots with a shared dummy state (one program per
+    hop, no donation aliasing) and real rows come back intact."""
+    engine = TTSEngine(model, n_slots=4, chunk_steps=16, max_cache=256, max_gen=64)
+    scale = CFG.hift.upsample_scale * CFG.flow.token_mel_ratio
+    try:
+        handles = [engine.submit(_prompt(60 + i)) for i in range(2)]
+        outs = [np.concatenate(list(h)) for h in handles]
+        for total in outs:
+            assert np.isfinite(total).all()
+            assert len(total) % scale == 0 and len(total) > 0
+        # the shared pad state must be reusable: a second wave still works
+        handles = [engine.submit(_prompt(70 + i)) for i in range(2)]
+        for h in handles:
+            total = np.concatenate(list(h))
+            assert np.isfinite(total).all() and len(total) > 0
+    finally:
+        engine.close()
